@@ -1,0 +1,65 @@
+"""Solver / run configuration.
+
+The reference has no config system at all (SURVEY §5): two never-called
+setters (``slam/solver.hpp:33-34``), defaults kernel_threshold=1.0 and
+damping_factor=0.01 (``slam/solver.cpp:16-17``), and compile-time switches
+``WHICH_SOLVER`` (``slam/solver.hpp:13-17``).  Here every knob is a frozen
+(hashable → jit-static) dataclass field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # --- robustifier (reference: threshold kernel, slam/solver.cpp:38-41) ---
+    robust: str = "threshold"  # "threshold" | "huber" | "none"
+    kernel_threshold: float = 1.0  # slam/solver.cpp:16
+
+    # --- damping ---
+    # "gn": constant diagonal damping added to H (slam/solver.cpp:64-69).
+    # "lm": Levenberg-Marquardt with accept/reject and multiplicative schedule.
+    optimizer: str = "gn"  # "gn" | "lm"
+    damping: float = 0.01  # slam/solver.cpp:17
+    lm_lambda0: float = 1e-3
+    lm_up: float = 10.0
+    lm_down: float = 0.1
+    lm_lambda_min: float = 1e-9
+    lm_lambda_max: float = 1e6
+
+    # --- linear solver ---
+    # "dense": dense Cholesky on the full (gauge-fixed) H — right for small N.
+    # "schur": per-landmark Schur elimination + PCG on the reduced pose system
+    #          — the scalable TPU path (SURVEY §7 phase 3/4).
+    linear_solver: str = "dense"  # "dense" | "schur"
+    cg_iters: int = 100
+    cg_tol: float = 1e-6
+
+    # --- iteration control ---
+    iters: int = 50  # reference "definitely converged" count (README.md:23-24)
+
+    # Scale only the b-side error by the robust weight, as the reference does
+    # (H uses the *unscaled* J: slam/solver.cpp:38-45). Setting False applies
+    # the weight to H as well (the textbook IRLS form).
+    reference_kernel_quirk: bool = True
+
+    # Numerical-vs-analytic Jacobian toggle (reference keeps a finite-difference
+    # implementation for verification, solver_jacobians.cpp:170-299; ours uses
+    # jax.jacfwd when enabled).
+    use_autodiff_jacobians: bool = False
+
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for sharded normal-equation assembly."""
+
+    n_devices: Optional[int] = None  # None → all available
+    axis_name: str = "edge"

@@ -1,0 +1,115 @@
+"""Outer optimization loops: constant-damping GN and Levenberg-Marquardt.
+
+The reference only has constant-damping GN stepped interactively from a
+keyboard loop (executables/bearing_only_slam.cpp:88-113, ~20 iterations to
+convergence per README.md:22-24).  Here the whole multi-iteration solve is
+one ``lax.scan`` inside a single jit — no host round-trips between
+iterations — and an LM variant with accept/reject and a multiplicative
+damping schedule is a first-class config (BASELINE.json config 3; SURVEY §2
+"new components": LM damping schedule + Huber kernel variants).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from boslam.config import SolverConfig
+from boslam.graph.data import FactorGraph
+from boslam.geometry.se2 import boxplus_state
+from boslam.solver.normal_eq import chi2_stats, edge_terms
+from boslam.solver.robust import robust_cost
+from boslam.solver import gauss_newton as GN
+
+
+def _build_and_solve(g: FactorGraph, cfg: SolverConfig, damping):
+    """Dispatch to the configured linear solver."""
+    if cfg.linear_solver == "dense":
+        return GN.gn_build_and_solve(g, cfg, damping)
+    elif cfg.linear_solver == "schur":
+        from boslam.solver import schur
+
+        return schur.schur_build_and_solve(g, cfg, damping)
+    raise ValueError(f"unknown linear_solver {cfg.linear_solver!r}")
+
+
+def gn_step(g: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+    """One constant-damping GN iteration (``Solver::step``, solver.cpp:27-97)."""
+    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, cfg.damping)
+    poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
+    stats = chi2_stats(terms, cfg)
+    stats["spd_ok"] = spd_ok
+    stats["accepted"] = jnp.asarray(True)
+    stats["damping"] = jnp.asarray(cfg.damping, g.poses.dtype)
+    stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
+    return g.with_state(poses, landmarks), stats
+
+
+def _robust_total(g: FactorGraph, cfg: SolverConfig) -> jnp.ndarray:
+    t = edge_terms(g, cfg)
+    return jnp.sum(robust_cost(t.bchi2, cfg)) + jnp.sum(robust_cost(t.ochi2, cfg))
+
+
+def lm_step(
+    g: FactorGraph, lam: jnp.ndarray, cfg: SolverConfig
+) -> tuple[FactorGraph, jnp.ndarray, dict]:
+    """One LM trial: solve with damping ``lam``, accept iff the robust cost
+    decreases, and scale lam down (accept) / up (reject)."""
+    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, lam)
+    cand_poses, cand_landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
+    cand = g.with_state(cand_poses, cand_landmarks)
+
+    cost_old = jnp.sum(robust_cost(terms.bchi2, cfg)) + jnp.sum(
+        robust_cost(terms.ochi2, cfg)
+    )
+    cost_new = _robust_total(cand, cfg)
+    accept = jnp.logical_and(cost_new < cost_old, spd_ok)
+
+    poses = jnp.where(accept, cand.poses, g.poses)
+    landmarks = jnp.where(accept, cand.landmarks, g.landmarks)
+    new_lam = jnp.where(
+        accept,
+        jnp.maximum(lam * cfg.lm_down, cfg.lm_lambda_min),
+        jnp.minimum(lam * cfg.lm_up, cfg.lm_lambda_max),
+    )
+
+    stats = chi2_stats(terms, cfg)
+    stats["spd_ok"] = spd_ok
+    stats["accepted"] = accept
+    stats["damping"] = lam
+    stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
+    return g.with_state(poses, landmarks), new_lam, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+    """Run ``cfg.iters`` optimizer iterations fully on device.
+
+    Returns the optimized graph and per-iteration stats (each value is an
+    array with a leading ``iters`` axis).  The per-iteration chi2 trace is
+    the observability the reference never computes (SURVEY §5: "chi2 is
+    never computed or reported — convergence is judged visually").
+    """
+    if cfg.optimizer == "gn":
+
+        def body(g, _):
+            g, stats = gn_step(g, cfg)
+            return g, stats
+
+        final, stats = jax.lax.scan(body, graph, None, length=cfg.iters)
+        return final, stats
+
+    elif cfg.optimizer == "lm":
+
+        def body(carry, _):
+            g, lam = carry
+            g, lam, stats = lm_step(g, lam, cfg)
+            return (g, lam), stats
+
+        lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
+        (final, _), stats = jax.lax.scan(body, (graph, lam0), None, length=cfg.iters)
+        return final, stats
+
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
