@@ -31,12 +31,14 @@ class SolverConfig:
     lm_lambda_max: float = 1e6
 
     # --- linear solver ---
-    # "dense": dense Cholesky on the full (gauge-fixed) H — right for small N.
-    # "schur": per-landmark Schur elimination + PCG on the reduced pose system
-    #          — the scalable TPU path (SURVEY §7 phase 3/4).
-    linear_solver: str = "dense"  # "dense" | "schur"
+    # "dense":    dense Cholesky on the full (gauge-fixed) H — small N.
+    # "schur":    per-landmark Schur elimination + dense Cholesky of the
+    #             reduced camera system (exact; 3NP x 3NP < N x N).
+    # "schur_cg": Schur elimination + matrix-free block-Jacobi PCG —
+    #             the inexact-Newton scale-out path (SURVEY §7 phase 3/4).
+    linear_solver: str = "dense"  # "dense" | "schur" | "schur_cg"
     cg_iters: int = 100
-    cg_tol: float = 1e-6
+    cg_tol: float = 1e-5
 
     # --- iteration control ---
     iters: int = 50  # reference "definitely converged" count (README.md:23-24)

@@ -28,7 +28,7 @@ def _build_and_solve(g: FactorGraph, cfg: SolverConfig, damping):
     """Dispatch to the configured linear solver."""
     if cfg.linear_solver == "dense":
         return GN.gn_build_and_solve(g, cfg, damping)
-    elif cfg.linear_solver == "schur":
+    elif cfg.linear_solver in ("schur", "schur_cg"):
         from boslam.solver import schur
 
         return schur.schur_build_and_solve(g, cfg, damping)

@@ -1,0 +1,318 @@
+"""Per-landmark Schur complement + preconditioned CG — the scalable path.
+
+The reference factorizes the full N x N normal matrix with sparse LDLT
+every step (slam/solver.cpp:77-85), capping problem size at one CPU's
+factorization capacity (SURVEY §5 "long-context" analogue).  TPU-first
+re-design (SURVEY §7 phase 3, BASELINE.json configs 4-5):
+
+- Landmark blocks of H are 2x2 and block-diagonal (bearing edges touch one
+  pose + one landmark), so eliminating them is a *batched 2x2 inverse* —
+  embarrassingly parallel, no factorization.
+- The reduced camera system S = Hpp - Hpl Hll^-1 Hlp (size 3*NP) is never
+  materialized: CG only needs S @ x, which is gathers, small batched
+  matmuls, and segment-sums over edge arrays — exactly the ops XLA fuses
+  and shards well.  Under data-parallel edge sharding every term becomes a
+  local partial + one psum (boslam/parallel).
+- Block-Jacobi preconditioner from the exact 3x3 diagonal of S.
+
+Everything is fixed-shape; the whole solve jits into one XLA program and
+is algebraically identical to the dense path (tested to f32 tolerance in
+tests/test_schur.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from boslam.config import SolverConfig
+from boslam.graph.data import FactorGraph
+from boslam.solver.normal_eq import EdgeTerms, edge_terms
+
+
+class SchurBlocks(NamedTuple):
+    """Block-sparse normal equations, damped, pre-elimination."""
+
+    Hpp_diag: jnp.ndarray  # f32[NP, 3, 3] per-pose diagonal blocks
+    Ho_sd: jnp.ndarray  # f32[NO, 3, 3] odometry src->dst coupling blocks
+    Hll_inv: jnp.ndarray  # f32[NL, 2, 2] inverse damped landmark blocks
+    Hpl: jnp.ndarray  # f32[NB, 3, 2] per-bearing-edge pose-landmark blocks
+    bp: jnp.ndarray  # f32[NP, 3]
+    bl: jnp.ndarray  # f32[NL, 2]
+
+
+def _inv2x2(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 2x2 inverse (the landmark-block elimination)."""
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [
+            jnp.stack([d * inv_det, -b * inv_det], axis=-1),
+            jnp.stack([-c * inv_det, a * inv_det], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def build_blocks(
+    g: FactorGraph, cfg: SolverConfig, damping, terms: EdgeTerms | None = None
+) -> tuple[SchurBlocks, EdgeTerms]:
+    """Assemble the block-sparse damped H and b via segment-sums.
+
+    Mathematically the same H,b as assemble_dense (slam/solver.cpp:31-69
+    semantics, robust quirk included) in block layout.
+    """
+    if terms is None:
+        terms = edge_terms(g, cfg)
+    NP_, NL = g.n_poses, g.n_landmarks
+    dtype = g.poses.dtype
+    damping = jnp.asarray(damping, dtype)
+
+    seg_p = lambda v, ix: jax.ops.segment_sum(v, ix, num_segments=NP_)
+    seg_l = lambda v, ix: jax.ops.segment_sum(v, ix, num_segments=NL)
+
+    # --- bearing edge contributions ---
+    wH_b = (g.b_omega * terms.bw_H)[:, None, None]
+    jp, jl = terms.bjp, terms.bjl  # [NB,3], [NB,2]
+    Hpp_b = wH_b * jp[:, :, None] * jp[:, None, :]  # [NB,3,3]
+    Hll_b = wH_b * jl[:, :, None] * jl[:, None, :]  # [NB,2,2]
+    Hpl = wH_b * jp[:, :, None] * jl[:, None, :]  # [NB,3,2]
+    coef_b = (g.b_omega * terms.bw_b * terms.be)[:, None]
+    bp_b = coef_b * jp  # [NB,3]
+    bl_b = coef_b * jl  # [NB,2]
+
+    Hpp_diag = seg_p(Hpp_b, g.b_pose)
+    Hll = seg_l(Hll_b, g.b_lm)
+    bp = seg_p(bp_b, g.b_pose)
+    bl = seg_l(bl_b, g.b_lm)
+
+    # --- odometry edge contributions ---
+    js, jd = terms.ojs, terms.ojd  # [NO,3,3]
+    Om = g.o_omega * terms.ow_H[:, None, None]
+    OmJs = jnp.einsum("eij,ejk->eik", Om, js)
+    OmJd = jnp.einsum("eij,ejk->eik", Om, jd)
+    H_ss = jnp.einsum("eij,eik->ejk", js, OmJs)
+    H_dd = jnp.einsum("eij,eik->ejk", jd, OmJd)
+    H_sd = jnp.einsum("eij,eik->ejk", js, OmJd)
+    e_w = (g.o_omega @ (terms.ow_b[:, None] * terms.oe)[..., None])[..., 0]
+    bp_s = jnp.einsum("eij,ei->ej", js, e_w)
+    bp_d = jnp.einsum("eij,ei->ej", jd, e_w)
+
+    Hpp_diag = Hpp_diag + seg_p(H_ss, g.o_src) + seg_p(H_dd, g.o_dst)
+    bp = bp + seg_p(bp_s, g.o_src) + seg_p(bp_d, g.o_dst)
+
+    # --- damping on every diagonal (slam/solver.cpp:64-69) ---
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye2 = jnp.eye(2, dtype=dtype)
+    Hpp_diag = Hpp_diag + damping * eye3
+    Hll = Hll + damping * eye2
+
+    return SchurBlocks(Hpp_diag, H_sd, _inv2x2(Hll), Hpl, bp, bl), terms
+
+
+def _pose_mask(NP_: int, fixed_ix, dtype) -> jnp.ndarray:
+    """f32[NP, 1] gauge mask over pose blocks (1 except the fixed pose)."""
+    return jnp.where(
+        (jnp.arange(NP_) == fixed_ix)[:, None], jnp.zeros((), dtype), jnp.ones((), dtype)
+    )
+
+
+def s_matvec(blocks: SchurBlocks, g: FactorGraph, x: jnp.ndarray, mask: jnp.ndarray):
+    """y = S_masked @ x with S = Hpp - Hpl Hll^-1 Hlp, x f32[NP, 3].
+
+    Matrix-free: two gathers + two segment-sums per term.  The gauge mask
+    zeroes the fixed pose's rows/cols and pins its diagonal to identity,
+    mirroring the dense path's masking (boslam/solver/gauss_newton.py).
+    """
+    NP_, NL = g.n_poses, g.n_landmarks
+    xm = x * mask
+
+    # Hpp @ x: diagonal blocks + odometry couplings (sd and its transpose)
+    y = jnp.einsum("pij,pj->pi", blocks.Hpp_diag, xm)
+    y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd, xm[g.o_dst])
+    y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd, xm[g.o_src])
+    y = y + jax.ops.segment_sum(y_sd, g.o_src, num_segments=NP_)
+    y = y + jax.ops.segment_sum(y_ds, g.o_dst, num_segments=NP_)
+
+    # Hpl Hll^-1 Hlp @ x via the landmark aggregation
+    z = jnp.einsum("eji,ej->ei", blocks.Hpl, xm[g.b_pose])  # Hlp x pieces [NB,2]
+    z = jax.ops.segment_sum(z, g.b_lm, num_segments=NL)  # [NL,2]
+    w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)  # Hll^-1 (Hlp x)
+    yb = jnp.einsum("eij,ej->ei", blocks.Hpl, w[g.b_lm])  # [NB,3]
+    y = y - jax.ops.segment_sum(yb, g.b_pose, num_segments=NP_)
+
+    # mask output; identity on the fixed block keeps CG well-posed there
+    return y * mask + x * (1.0 - mask)
+
+
+def s_diag_blocks(blocks: SchurBlocks, g: FactorGraph) -> jnp.ndarray:
+    """Exact 3x3 diagonal of S for the block-Jacobi preconditioner.
+
+    diag_i(S) = Hpp_ii - sum_e Hpl_e Hll_inv[lm_e] Hpl_e^T over edges at
+    pose i.  (Exact when each (pose, landmark) pair has at most one edge —
+    true of g2o bearing graphs; otherwise still an excellent preconditioner.)
+    """
+    corr = jnp.einsum(
+        "eij,ejk,elk->eil", blocks.Hpl, blocks.Hll_inv[g.b_lm], blocks.Hpl
+    )
+    return blocks.Hpp_diag - jax.ops.segment_sum(
+        corr, g.b_pose, num_segments=g.n_poses
+    )
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse via the adjugate."""
+    a = A
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    inv_det = (1.0 / det)[..., None, None]
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det
+
+
+def pcg(matvec, rhs, precond_inv, max_iters: int, tol: float):
+    """Preconditioned conjugate gradients over pose-block arrays f32[NP,3].
+
+    Fixed-shape while_loop (XLA-friendly); terminates on relative residual
+    or iteration cap.  Returns (x, n_iters, final_rel_residual2).
+    """
+    dot = lambda u, v: jnp.sum(u * v)
+    r0 = rhs
+    z0 = jnp.einsum("pij,pj->pi", precond_inv, r0)
+    rz0 = dot(r0, z0)
+    b2 = jnp.maximum(dot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
+    x0 = jnp.zeros_like(rhs)
+
+    def cond(state):
+        _, r, _, _, k, _ = state
+        return jnp.logical_and(k < max_iters, dot(r, r) / b2 > tol * tol)
+
+    def body(state):
+        x, r, z, p, k, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), jnp.finfo(rhs.dtype).tiny)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = jnp.einsum("pij,pj->pi", precond_inv, r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
+        p = z + beta * p
+        return x, r, z, p, k + 1, rz_new
+
+    x, r, _, _, k, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0)
+    )
+    return x, k, dot(r, r) / b2
+
+
+def dense_reduced_system(blocks: SchurBlocks, g: FactorGraph):
+    """Materialize S (3NP x 3NP) — exact Schur path for small/medium NP.
+
+    Built MXU-style: the correction Hpl Hll^-1 Hlp is one big matmul of the
+    scattered [3NP, 2NL] coupling matrix against its Hll^-1-weighted
+    counterpart; XLA tiles it onto the systolic array.  For the reference
+    dataset S is 903 x 903 — smaller than the 1185 x 1185 full H the C++
+    solver factorizes, and Cholesky beats its LDLT asymptotically by the
+    eliminated landmark block.
+    """
+    NP_, NL = g.n_poses, g.n_landmarks
+    dtype = g.poses.dtype
+
+    # Dense Hpp
+    Hpp = jnp.zeros((3 * NP_, 3 * NP_), dtype)
+    ix3 = 3 * jnp.arange(NP_)[:, None] + jnp.arange(3)[None, :]  # [NP,3]
+    Hpp = Hpp.at[ix3[:, :, None], ix3[:, None, :]].add(blocks.Hpp_diag)
+    s3 = 3 * g.o_src[:, None] + jnp.arange(3)[None, :]
+    d3 = 3 * g.o_dst[:, None] + jnp.arange(3)[None, :]
+    Hpp = Hpp.at[s3[:, :, None], d3[:, None, :]].add(blocks.Ho_sd)
+    Hpp = Hpp.at[d3[:, :, None], s3[:, None, :]].add(
+        jnp.swapaxes(blocks.Ho_sd, 1, 2)
+    )
+
+    # Dense Hpl [3NP, 2NL] from per-edge 3x2 blocks
+    U = jnp.zeros((3 * NP_, 2 * NL), dtype)
+    bp3 = 3 * g.b_pose[:, None] + jnp.arange(3)[None, :]
+    bl2 = 2 * g.b_lm[:, None] + jnp.arange(2)[None, :]
+    U = U.at[bp3[:, :, None], bl2[:, None, :]].add(blocks.Hpl)
+
+    # W = U @ blockdiag(Hll_inv): batched small matmul then flatten
+    W = jnp.einsum(
+        "plh,lhj->plj", U.reshape(3 * NP_, NL, 2), blocks.Hll_inv
+    ).reshape(3 * NP_, 2 * NL)
+    S = Hpp - W @ U.T
+    rhs = -blocks.bp.reshape(-1) + W @ blocks.bl.reshape(-1)
+    return S, rhs
+
+
+def schur_build_and_solve(
+    g: FactorGraph, cfg: SolverConfig, damping, use_cg: bool | None = None
+):
+    """Full Schur-complement linear solve; same interface as the dense path.
+
+    Returns (delta_poses f32[NP,3], delta_landmarks f32[NL,2], terms, ok).
+
+    ``use_cg=False`` (linear_solver="schur"): exact — dense Cholesky of the
+    reduced camera system.  ``use_cg=True`` ("schur_cg"): matrix-free PCG,
+    the inexact-Newton scale-out path; S has condition ~1e7 on real data so
+    f32 CG is run to cfg.cg_tol as a *truncated* inner solve (outer GN still
+    converges, classical inexact-Newton behavior — tested).
+    """
+    if use_cg is None:
+        use_cg = cfg.linear_solver == "schur_cg"
+    blocks, terms = build_blocks(g, cfg, damping)
+    mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
+
+    if not use_cg:
+        import jax.scipy.linalg as jsl
+
+        S, rhs_flat = dense_reduced_system(blocks, g)
+        m = jnp.repeat(mask[:, 0], 3)
+        Sm = m[:, None] * S * m[None, :] + jnp.diag(1.0 - m)
+        chol, lower = jsl.cho_factor(Sm, lower=True)
+        dp = jsl.cho_solve((chol, lower), rhs_flat * m).reshape(g.n_poses, 3)
+    else:
+        # Reduced RHS: -bp + Hpl Hll^-1 bl, gauge-masked.
+        w = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
+        corr = jnp.einsum("eij,ej->ei", blocks.Hpl, w[g.b_lm])
+        rhs = -blocks.bp + jax.ops.segment_sum(
+            corr, g.b_pose, num_segments=g.n_poses
+        )
+        rhs = rhs * mask
+
+        precond_inv = _inv3x3(s_diag_blocks(blocks, g))
+        matvec = lambda x: s_matvec(blocks, g, x, mask)
+        dp, n_iters, rel_res2 = pcg(
+            matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol
+        )
+    dp = dp * mask  # exact zero delta on the gauge pose (solver.cpp:87-94)
+
+    # Back-substitute landmarks: dl = Hll^-1 (-bl - Hlp dp).
+    hlp_dp = jnp.einsum("eji,ej->ei", blocks.Hpl, dp[g.b_pose])
+    hlp_dp = jax.ops.segment_sum(hlp_dp, g.b_lm, num_segments=g.n_landmarks)
+    dl = jnp.einsum("lij,lj->li", blocks.Hll_inv, -blocks.bl - hlp_dp)
+
+    ok = jnp.logical_not(
+        jnp.logical_or(jnp.any(jnp.isnan(dp)), jnp.any(jnp.isnan(dl)))
+    )
+    dp = jnp.where(ok, dp, jnp.zeros_like(dp))
+    dl = jnp.where(ok, dl, jnp.zeros_like(dl))
+    return dp, dl, terms, ok

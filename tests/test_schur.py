@@ -1,0 +1,147 @@
+"""Schur + PCG path vs the dense-Cholesky path: same linear system, same
+solution, same converged optimum."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boslam.config import SolverConfig
+from boslam.graph.build import build_graph
+from boslam.solver import schur
+from boslam.solver.gauss_newton import gn_build_and_solve
+from boslam.solver.normal_eq import assemble_dense, edge_terms
+from boslam.solver.optimizer import solve
+
+
+def test_blocks_match_dense_assembly(full_ig):
+    """Block-sparse H equals the dense H on every structural block."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig()
+    damping = 0.0
+    H, b, _ = assemble_dense(g, cfg)
+    blocks, _ = schur.build_blocks(g, cfg, damping)
+    NP_, NL = g.n_poses, g.n_landmarks
+
+    Hn = np.asarray(H)
+    bn = np.asarray(b)
+    # pose diagonal blocks (minus damping which is 0 here)
+    for i in [0, 5, NP_ - 1]:
+        np.testing.assert_allclose(
+            np.asarray(blocks.Hpp_diag)[i],
+            Hn[3 * i : 3 * i + 3, 3 * i : 3 * i + 3],
+            atol=1e-3,
+        )
+    # odometry coupling blocks
+    src = np.asarray(g.o_src)
+    dst = np.asarray(g.o_dst)
+    for e in [0, 100, 299]:
+        i, j = src[e], dst[e]
+        np.testing.assert_allclose(
+            np.asarray(blocks.Ho_sd)[e],
+            Hn[3 * i : 3 * i + 3, 3 * j : 3 * j + 3],
+            atol=1e-3,
+        )
+    # b vector
+    np.testing.assert_allclose(
+        np.asarray(blocks.bp).ravel(), bn[: 3 * NP_], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocks.bl).ravel(), bn[3 * NP_ :], atol=1e-3
+    )
+
+
+def test_schur_direct_delta_matches_dense(full_ig):
+    """One linear solve: exact Schur (dense reduced Cholesky) delta equals
+    the full dense Cholesky delta — algebraic identity, f32 tolerance."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig()
+    dp_d, dl_d, _, ok_d = gn_build_and_solve(g, cfg, cfg.damping)
+    dp_s, dl_s, _, ok_s = schur.schur_build_and_solve(
+        g, cfg, cfg.damping, use_cg=False
+    )
+    assert bool(ok_d) and bool(ok_s)
+    scale = np.abs(np.asarray(dp_d)).max()
+    np.testing.assert_allclose(
+        np.asarray(dp_s), np.asarray(dp_d), atol=3e-3 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(dl_s), np.asarray(dl_d), atol=6e-3 * scale
+    )
+    # gauge pose pinned to exactly zero in both
+    fixed = int(g.fixed_pose_ix)
+    assert np.all(np.asarray(dp_s)[fixed] == 0.0)
+
+
+def test_schur_cg_delta_approximates_dense(full_ig):
+    """PCG inner solve: truncated (S condition ~1e7 in f32) but must agree
+    in direction and magnitude — the inexact-Newton contract."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig(cg_iters=300, cg_tol=1e-6)
+    dp_d, dl_d, _, _ = gn_build_and_solve(g, cfg, cfg.damping)
+    dp_s, dl_s, _, ok_s = schur.schur_build_and_solve(
+        g, cfg, cfg.damping, use_cg=True
+    )
+    assert bool(ok_s)
+    a = np.asarray(dp_s).ravel()
+    b = np.asarray(dp_d).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.97, cos  # measured 0.984 at the f32 truncation floor
+    assert 0.8 < np.linalg.norm(a) / np.linalg.norm(b) < 1.2
+
+
+def test_schur_direct_full_convergence(full_ig):
+    """Full pipeline with linear_solver="schur" reaches the same chi2
+    plateau as the dense path."""
+    g, meta = build_graph(full_ig, init="triangulate")
+    g_d, stats_d = solve(g, SolverConfig(iters=20))
+    g_s, stats_s = solve(g, SolverConfig(iters=20, linear_solver="schur"))
+    c_d = float(np.asarray(stats_d["chi2_robust"])[-1])
+    c_s = float(np.asarray(stats_s["chi2_robust"])[-1])
+    assert abs(c_s - c_d) / c_d < 0.02, (c_s, c_d)
+    d = np.sqrt(((np.asarray(g_s.poses)[:, :2] - np.asarray(g_d.poses)[:, :2]) ** 2).sum(1))
+    assert np.median(d) < 0.05
+
+
+def test_schur_cg_full_convergence(full_ig):
+    """Inexact-Newton outer loop with truncated PCG still converges to
+    (nearly) the same plateau, a few percent above at worst."""
+    g, meta = build_graph(full_ig, init="triangulate")
+    g_d, stats_d = solve(g, SolverConfig(iters=25))
+    g_s, stats_s = solve(
+        g, SolverConfig(iters=25, linear_solver="schur_cg", cg_iters=150)
+    )
+    c_d = float(np.asarray(stats_d["chi2_robust"])[-1])
+    c_s = float(np.asarray(stats_s["chi2_robust"])[-1])
+    assert c_s < c_d * 1.05, (c_s, c_d)
+
+
+def test_pcg_solves_spd_system(rng):
+    """PCG on a random block-SPD system vs numpy direct solve."""
+    NP_ = 16
+    A = rng.standard_normal((3 * NP_, 3 * NP_)).astype(np.float32)
+    S = A @ A.T + 10.0 * np.eye(3 * NP_, dtype=np.float32)
+    rhs = rng.standard_normal(3 * NP_).astype(np.float32)
+    want = np.linalg.solve(S.astype(np.float64), rhs.astype(np.float64))
+
+    Sj = jnp.asarray(S)
+    matvec = lambda x: (Sj @ x.reshape(-1)).reshape(NP_, 3)
+    diag = np.stack([S[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] for i in range(NP_)])
+    pre = schur._inv3x3(jnp.asarray(diag))
+    x, k, res = schur.pcg(matvec, jnp.asarray(rhs.reshape(NP_, 3)), pre, 500, 1e-7)
+    np.testing.assert_allclose(np.asarray(x).ravel(), want, atol=5e-3)
+
+
+def test_inv_helpers(rng):
+    A2 = rng.standard_normal((10, 2, 2)).astype(np.float32)
+    A2 = A2 @ np.swapaxes(A2, 1, 2) + 0.5 * np.eye(2, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(schur._inv2x2(jnp.asarray(A2))),
+        np.linalg.inv(A2),
+        rtol=1e-3, atol=1e-4,
+    )
+    A3 = rng.standard_normal((10, 3, 3)).astype(np.float32)
+    A3 = A3 @ np.swapaxes(A3, 1, 2) + 0.5 * np.eye(3, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(schur._inv3x3(jnp.asarray(A3))),
+        np.linalg.inv(A3),
+        rtol=1e-2, atol=1e-3,
+    )
