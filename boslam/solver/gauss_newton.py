@@ -60,13 +60,18 @@ def solve_gauge_fixed(
 
 
 def gn_build_and_solve(
-    g: FactorGraph, cfg: SolverConfig, damping: jnp.ndarray | float
+    g: FactorGraph,
+    cfg: SolverConfig,
+    damping: jnp.ndarray | float,
+    axis_name: str | None = None,
 ):
     """Assemble, damp (slam/solver.cpp:64-69), gauge-fix, solve.
 
-    Returns (delta_poses, delta_landmarks, terms, spd_ok).
+    Returns (delta_poses, delta_landmarks, terms, spd_ok).  With
+    ``axis_name`` (edge-sharded context), assembly psums the partial H,b
+    and the (small) solve runs replicated on every device.
     """
-    H, b, terms = assemble_dense(g, cfg)
+    H, b, terms = assemble_dense(g, cfg, axis_name=axis_name)
     N = g.state_dim
     H = H + damping * jnp.eye(N, dtype=H.dtype)
     mask = gauge_mask(N, g.n_poses, g.fixed_pose_ix, H.dtype)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from boslam.config import SolverConfig
@@ -67,9 +68,13 @@ def edge_terms(g: FactorGraph, cfg: SolverConfig) -> EdgeTerms:
     return EdgeTerms(be, bjp, bjl, bw_H, bw_b, bchi2, oe, ojs, ojd, ow_H, ow_b, ochi2)
 
 
-def chi2_stats(t: EdgeTerms, cfg: SolverConfig) -> dict:
-    """Per-iteration observability the reference never had (SURVEY §5)."""
-    return {
+def chi2_stats(t: EdgeTerms, cfg: SolverConfig, axis_name: str | None = None) -> dict:
+    """Per-iteration observability the reference never had (SURVEY §5).
+
+    Under edge sharding (``axis_name`` set inside shard_map) the sums are
+    completed with a psum over the mesh axis.
+    """
+    stats = {
         "chi2_bearing": jnp.sum(t.bchi2),
         "chi2_odometry": jnp.sum(t.ochi2),
         "chi2_robust": jnp.sum(robust_cost(t.bchi2, cfg))
@@ -77,6 +82,9 @@ def chi2_stats(t: EdgeTerms, cfg: SolverConfig) -> dict:
         "n_bearing_clamped": jnp.sum(t.bchi2 > cfg.kernel_threshold),
         "n_odometry_clamped": jnp.sum(t.ochi2 > cfg.kernel_threshold),
     }
+    if axis_name is not None:
+        stats = {k: jax.lax.psum(v, axis_name) for k, v in stats.items()}
+    return stats
 
 
 def _bearing_cols(g: FactorGraph) -> jnp.ndarray:
@@ -97,13 +105,21 @@ def _odom_cols(g: FactorGraph) -> jnp.ndarray:
 
 
 def assemble_dense(
-    g: FactorGraph, cfg: SolverConfig, terms: EdgeTerms | None = None
+    g: FactorGraph,
+    cfg: SolverConfig,
+    terms: EdgeTerms | None = None,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, EdgeTerms]:
     """Full dense H f32[N,N] and b f32[N] (pre gauge-fix, pre damping).
 
     Equivalent to the accumulation loops at slam/solver.cpp:31-62 but as two
     batched outer-product scatters.  The robust quirk is preserved: w_H
     weights the H contribution, w_b the b contribution.
+
+    With ``axis_name`` set (edge-sharded shard_map context) each device
+    scatters only its edge shard and the partial H,b are completed with one
+    psum — the TPU-native replacement for the reference's single-process
+    accumulation (SURVEY §2 parallelism table, slam/solver.cpp:44-45,60-61).
     """
     if terms is None:
         terms = edge_terms(g, cfg)
@@ -133,4 +149,7 @@ def assemble_dense(
     )
     b = b.at[ocols].add(b6)
 
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
     return H, b, terms

@@ -24,22 +24,24 @@ from boslam.solver.robust import robust_cost
 from boslam.solver import gauss_newton as GN
 
 
-def _build_and_solve(g: FactorGraph, cfg: SolverConfig, damping):
+def _build_and_solve(g: FactorGraph, cfg: SolverConfig, damping, axis_name=None):
     """Dispatch to the configured linear solver."""
     if cfg.linear_solver == "dense":
-        return GN.gn_build_and_solve(g, cfg, damping)
+        return GN.gn_build_and_solve(g, cfg, damping, axis_name=axis_name)
     elif cfg.linear_solver in ("schur", "schur_cg"):
         from boslam.solver import schur
 
-        return schur.schur_build_and_solve(g, cfg, damping)
+        return schur.schur_build_and_solve(g, cfg, damping, axis_name=axis_name)
     raise ValueError(f"unknown linear_solver {cfg.linear_solver!r}")
 
 
-def gn_step(g: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+def gn_step(
+    g: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
+) -> tuple[FactorGraph, dict]:
     """One constant-damping GN iteration (``Solver::step``, solver.cpp:27-97)."""
-    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, cfg.damping)
+    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, cfg.damping, axis_name)
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
-    stats = chi2_stats(terms, cfg)
+    stats = chi2_stats(terms, cfg, axis_name)
     stats["spd_ok"] = spd_ok
     stats["accepted"] = jnp.asarray(True)
     stats["damping"] = jnp.asarray(cfg.damping, g.poses.dtype)
@@ -47,24 +49,34 @@ def gn_step(g: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
     return g.with_state(poses, landmarks), stats
 
 
-def _robust_total(g: FactorGraph, cfg: SolverConfig) -> jnp.ndarray:
+def _robust_total(
+    g: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
+) -> jnp.ndarray:
     t = edge_terms(g, cfg)
-    return jnp.sum(robust_cost(t.bchi2, cfg)) + jnp.sum(robust_cost(t.ochi2, cfg))
+    total = jnp.sum(robust_cost(t.bchi2, cfg)) + jnp.sum(robust_cost(t.ochi2, cfg))
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+    return total
 
 
 def lm_step(
-    g: FactorGraph, lam: jnp.ndarray, cfg: SolverConfig
+    g: FactorGraph,
+    lam: jnp.ndarray,
+    cfg: SolverConfig,
+    axis_name: str | None = None,
 ) -> tuple[FactorGraph, jnp.ndarray, dict]:
     """One LM trial: solve with damping ``lam``, accept iff the robust cost
     decreases, and scale lam down (accept) / up (reject)."""
-    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, lam)
+    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, lam, axis_name)
     cand_poses, cand_landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     cand = g.with_state(cand_poses, cand_landmarks)
 
     cost_old = jnp.sum(robust_cost(terms.bchi2, cfg)) + jnp.sum(
         robust_cost(terms.ochi2, cfg)
     )
-    cost_new = _robust_total(cand, cfg)
+    if axis_name is not None:
+        cost_old = jax.lax.psum(cost_old, axis_name)
+    cost_new = _robust_total(cand, cfg, axis_name)
     accept = jnp.logical_and(cost_new < cost_old, spd_ok)
 
     poses = jnp.where(accept, cand.poses, g.poses)
@@ -75,7 +87,7 @@ def lm_step(
         jnp.minimum(lam * cfg.lm_up, cfg.lm_lambda_max),
     )
 
-    stats = chi2_stats(terms, cfg)
+    stats = chi2_stats(terms, cfg, axis_name)
     stats["spd_ok"] = spd_ok
     stats["accepted"] = accept
     stats["damping"] = lam
@@ -83,8 +95,9 @@ def lm_step(
     return g.with_state(poses, landmarks), new_lam, stats
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+def solve_loop(
+    graph: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
+) -> tuple[FactorGraph, dict]:
     """Run ``cfg.iters`` optimizer iterations fully on device.
 
     Returns the optimized graph and per-iteration stats (each value is an
@@ -95,7 +108,7 @@ def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
     if cfg.optimizer == "gn":
 
         def body(g, _):
-            g, stats = gn_step(g, cfg)
+            g, stats = gn_step(g, cfg, axis_name)
             return g, stats
 
         final, stats = jax.lax.scan(body, graph, None, length=cfg.iters)
@@ -105,7 +118,7 @@ def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
 
         def body(carry, _):
             g, lam = carry
-            g, lam, stats = lm_step(g, lam, cfg)
+            g, lam, stats = lm_step(g, lam, cfg, axis_name)
             return (g, lam), stats
 
         lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
@@ -113,3 +126,9 @@ def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
         return final, stats
 
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+    """Single-device entry point: jit of the scan loop."""
+    return solve_loop(graph, cfg)

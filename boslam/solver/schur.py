@@ -33,7 +33,12 @@ from boslam.solver.normal_eq import EdgeTerms, edge_terms
 
 
 class SchurBlocks(NamedTuple):
-    """Block-sparse normal equations, damped, pre-elimination."""
+    """Block-sparse normal equations, damped, post-elimination-prep.
+
+    Under edge sharding, ``Hpp_diag``/``Hll_inv``/``bp``/``bl`` are psum-
+    completed (replicated) while ``Ho_sd``/``Hpl`` stay per-edge local
+    shards — the replicated-reduced-system / sharded-factors layout.
+    """
 
     Hpp_diag: jnp.ndarray  # f32[NP, 3, 3] per-pose diagonal blocks
     Ho_sd: jnp.ndarray  # f32[NO, 3, 3] odometry src->dst coupling blocks
@@ -59,12 +64,18 @@ def _inv2x2(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_blocks(
-    g: FactorGraph, cfg: SolverConfig, damping, terms: EdgeTerms | None = None
+    g: FactorGraph,
+    cfg: SolverConfig,
+    damping,
+    terms: EdgeTerms | None = None,
+    axis_name: str | None = None,
 ) -> tuple[SchurBlocks, EdgeTerms]:
     """Assemble the block-sparse damped H and b via segment-sums.
 
     Mathematically the same H,b as assemble_dense (slam/solver.cpp:31-69
-    semantics, robust quirk included) in block layout.
+    semantics, robust quirk included) in block layout.  With ``axis_name``
+    the pose/landmark aggregates are psum-completed across the edge shards
+    *before* damping and landmark-block inversion.
     """
     if terms is None:
         terms = edge_terms(g, cfg)
@@ -105,6 +116,13 @@ def build_blocks(
     Hpp_diag = Hpp_diag + seg_p(H_ss, g.o_src) + seg_p(H_dd, g.o_dst)
     bp = bp + seg_p(bp_s, g.o_src) + seg_p(bp_d, g.o_dst)
 
+    # Complete the cross-device reductions before damping/inversion.
+    if axis_name is not None:
+        Hpp_diag = jax.lax.psum(Hpp_diag, axis_name)
+        Hll = jax.lax.psum(Hll, axis_name)
+        bp = jax.lax.psum(bp, axis_name)
+        bl = jax.lax.psum(bl, axis_name)
+
     # --- damping on every diagonal (slam/solver.cpp:64-69) ---
     eye3 = jnp.eye(3, dtype=dtype)
     eye2 = jnp.eye(2, dtype=dtype)
@@ -121,35 +139,55 @@ def _pose_mask(NP_: int, fixed_ix, dtype) -> jnp.ndarray:
     )
 
 
-def s_matvec(blocks: SchurBlocks, g: FactorGraph, x: jnp.ndarray, mask: jnp.ndarray):
+def s_matvec(
+    blocks: SchurBlocks,
+    g: FactorGraph,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    axis_name: str | None = None,
+):
     """y = S_masked @ x with S = Hpp - Hpl Hll^-1 Hlp, x f32[NP, 3].
 
     Matrix-free: two gathers + two segment-sums per term.  The gauge mask
     zeroes the fixed pose's rows/cols and pins its diagonal to identity,
     mirroring the dense path's masking (boslam/solver/gauss_newton.py).
+
+    Distributed: ``x``, ``Hpp_diag``, ``Hll_inv`` are replicated; the
+    edge-indexed factors are shards, so the edge-coupled partial sums are
+    completed with one fused psum per matvec (the reduced-camera-system
+    all-reduce of BASELINE.json config 5, riding ICI).
     """
     NP_, NL = g.n_poses, g.n_landmarks
     xm = x * mask
 
-    # Hpp @ x: diagonal blocks + odometry couplings (sd and its transpose)
-    y = jnp.einsum("pij,pj->pi", blocks.Hpp_diag, xm)
+    # Odometry couplings (sd and its transpose) — edge-sharded partials.
     y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd, xm[g.o_dst])
     y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd, xm[g.o_src])
-    y = y + jax.ops.segment_sum(y_sd, g.o_src, num_segments=NP_)
-    y = y + jax.ops.segment_sum(y_ds, g.o_dst, num_segments=NP_)
+    y_edge = jax.ops.segment_sum(y_sd, g.o_src, num_segments=NP_)
+    y_edge = y_edge + jax.ops.segment_sum(y_ds, g.o_dst, num_segments=NP_)
 
-    # Hpl Hll^-1 Hlp @ x via the landmark aggregation
-    z = jnp.einsum("eji,ej->ei", blocks.Hpl, xm[g.b_pose])  # Hlp x pieces [NB,2]
+    # Hlp @ x pieces — edge-sharded partials into landmark space.
+    z = jnp.einsum("eji,ej->ei", blocks.Hpl, xm[g.b_pose])  # [NB,2]
     z = jax.ops.segment_sum(z, g.b_lm, num_segments=NL)  # [NL,2]
+    if axis_name is not None:
+        y_edge, z = jax.lax.psum((y_edge, z), axis_name)
+
+    # Replicated part: diagonal blocks + back-coupling through Hll^-1.
+    y = jnp.einsum("pij,pj->pi", blocks.Hpp_diag, xm) + y_edge
     w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)  # Hll^-1 (Hlp x)
-    yb = jnp.einsum("eij,ej->ei", blocks.Hpl, w[g.b_lm])  # [NB,3]
-    y = y - jax.ops.segment_sum(yb, g.b_pose, num_segments=NP_)
+    yb = jnp.einsum("eij,ej->ei", blocks.Hpl, w[g.b_lm])  # [NB,3] local
+    yb = jax.ops.segment_sum(yb, g.b_pose, num_segments=NP_)
+    if axis_name is not None:
+        yb = jax.lax.psum(yb, axis_name)
+    y = y - yb
 
     # mask output; identity on the fixed block keeps CG well-posed there
     return y * mask + x * (1.0 - mask)
 
 
-def s_diag_blocks(blocks: SchurBlocks, g: FactorGraph) -> jnp.ndarray:
+def s_diag_blocks(
+    blocks: SchurBlocks, g: FactorGraph, axis_name: str | None = None
+) -> jnp.ndarray:
     """Exact 3x3 diagonal of S for the block-Jacobi preconditioner.
 
     diag_i(S) = Hpp_ii - sum_e Hpl_e Hll_inv[lm_e] Hpl_e^T over edges at
@@ -159,9 +197,10 @@ def s_diag_blocks(blocks: SchurBlocks, g: FactorGraph) -> jnp.ndarray:
     corr = jnp.einsum(
         "eij,ejk,elk->eil", blocks.Hpl, blocks.Hll_inv[g.b_lm], blocks.Hpl
     )
-    return blocks.Hpp_diag - jax.ops.segment_sum(
-        corr, g.b_pose, num_segments=g.n_poses
-    )
+    corr = jax.ops.segment_sum(corr, g.b_pose, num_segments=g.n_poses)
+    if axis_name is not None:
+        corr = jax.lax.psum(corr, axis_name)
+    return blocks.Hpp_diag - corr
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -264,7 +303,11 @@ def dense_reduced_system(blocks: SchurBlocks, g: FactorGraph):
 
 
 def schur_build_and_solve(
-    g: FactorGraph, cfg: SolverConfig, damping, use_cg: bool | None = None
+    g: FactorGraph,
+    cfg: SolverConfig,
+    damping,
+    use_cg: bool | None = None,
+    axis_name: str | None = None,
 ):
     """Full Schur-complement linear solve; same interface as the dense path.
 
@@ -278,12 +321,16 @@ def schur_build_and_solve(
     """
     if use_cg is None:
         use_cg = cfg.linear_solver == "schur_cg"
-    blocks, terms = build_blocks(g, cfg, damping)
+    blocks, terms = build_blocks(g, cfg, damping, axis_name=axis_name)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
     if not use_cg:
         import jax.scipy.linalg as jsl
 
+        if axis_name is not None:
+            raise NotImplementedError(
+                "distributed mode uses linear_solver='schur_cg' (or 'dense')"
+            )
         S, rhs_flat = dense_reduced_system(blocks, g)
         m = jnp.repeat(mask[:, 0], 3)
         Sm = m[:, None] * S * m[None, :] + jnp.diag(1.0 - m)
@@ -293,13 +340,13 @@ def schur_build_and_solve(
         # Reduced RHS: -bp + Hpl Hll^-1 bl, gauge-masked.
         w = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
         corr = jnp.einsum("eij,ej->ei", blocks.Hpl, w[g.b_lm])
-        rhs = -blocks.bp + jax.ops.segment_sum(
-            corr, g.b_pose, num_segments=g.n_poses
-        )
-        rhs = rhs * mask
+        corr = jax.ops.segment_sum(corr, g.b_pose, num_segments=g.n_poses)
+        if axis_name is not None:
+            corr = jax.lax.psum(corr, axis_name)
+        rhs = (-blocks.bp + corr) * mask
 
-        precond_inv = _inv3x3(s_diag_blocks(blocks, g))
-        matvec = lambda x: s_matvec(blocks, g, x, mask)
+        precond_inv = _inv3x3(s_diag_blocks(blocks, g, axis_name=axis_name))
+        matvec = lambda x: s_matvec(blocks, g, x, mask, axis_name=axis_name)
         dp, n_iters, rel_res2 = pcg(
             matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol
         )
@@ -308,6 +355,8 @@ def schur_build_and_solve(
     # Back-substitute landmarks: dl = Hll^-1 (-bl - Hlp dp).
     hlp_dp = jnp.einsum("eji,ej->ei", blocks.Hpl, dp[g.b_pose])
     hlp_dp = jax.ops.segment_sum(hlp_dp, g.b_lm, num_segments=g.n_landmarks)
+    if axis_name is not None:
+        hlp_dp = jax.lax.psum(hlp_dp, axis_name)
     dl = jnp.einsum("lij,lj->li", blocks.Hll_inv, -blocks.bl - hlp_dp)
 
     ok = jnp.logical_not(

@@ -1,0 +1,83 @@
+"""Multi-device (8 virtual CPU devices) sharded solve == single-device solve.
+
+This is the fake-backend mechanism the reference lacks (SURVEY §4
+implication): xla_force_host_platform_device_count=8 set in conftest.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from boslam.config import SolverConfig
+from boslam.graph.build import build_graph
+from boslam.parallel.mesh import make_mesh
+from boslam.parallel.sharded import pad_edges, shard_graph, sharded_solve
+from boslam.solver.optimizer import solve
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    return make_mesh(8)
+
+
+def test_pad_edges_noop_math(full_ig):
+    """Zero-omega padding edges change no statistic."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    gp = pad_edges(g, 8)
+    assert gp.n_bearing % 8 == 0 and gp.n_odometry % 8 == 0
+    g1, s1 = solve(g, SolverConfig(iters=5))
+    g2, s2 = solve(gp, SolverConfig(iters=5))
+    np.testing.assert_allclose(
+        np.asarray(s1["chi2_robust"]), np.asarray(s2["chi2_robust"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1.poses), np.asarray(g2.poses), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("linear_solver", ["dense", "schur_cg"])
+def test_sharded_matches_single_device(full_ig, mesh8, linear_solver):
+    """8-way edge-sharded GN == single-device GN (same psum-completed H)."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig(iters=10, linear_solver=linear_solver, cg_iters=100)
+    g1, s1 = solve(pad_edges(g, 8), cfg)
+    g2, s2 = sharded_solve(g, cfg, mesh8)
+
+    np.testing.assert_allclose(
+        np.asarray(s1["chi2_robust"]),
+        np.asarray(s2["chi2_robust"]),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1.poses), np.asarray(g2.poses), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1.landmarks), np.asarray(g2.landmarks), atol=5e-3
+    )
+
+
+def test_sharded_lm(full_ig, mesh8):
+    """LM accept/reject logic is consistent across shards (psum-ed costs)."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig(iters=10, optimizer="lm", robust="huber")
+    g1, s1 = solve(pad_edges(g, 8), cfg)
+    g2, s2 = sharded_solve(g, cfg, mesh8)
+    np.testing.assert_array_equal(
+        np.asarray(s1["accepted"]), np.asarray(s2["accepted"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1["chi2_robust"]), np.asarray(s2["chi2_robust"]), rtol=2e-4
+    )
+
+
+def test_sharded_layout(full_ig, mesh8):
+    """Edge arrays land sharded; state lands replicated."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    gs = shard_graph(g, mesh8)
+    assert gs.b_meas.sharding.spec == jax.sharding.PartitionSpec("edge")
+    assert gs.poses.sharding.spec in (
+        jax.sharding.PartitionSpec(),
+        jax.sharding.PartitionSpec(None),
+    )
+    assert gs.b_meas.shape[0] % 8 == 0
