@@ -1,0 +1,139 @@
+"""Synthetic bearing-only SLAM sequence generator.
+
+The reference ships only fixed datasets (SURVEY §2 C13); scaling runs need
+10k/100k-pose sequences (BASELINE.json configs 4-5).  This generates a
+Manhattan-world-style trajectory with landmark observations matching the
+reference data's statistics (odometry Omega diag [500, 500, 5000], bearing
+omega 1, ~7 bearing observations per pose, FIX on one pose), returns a
+``ParsedG2O`` (so it flows through the exact same build path as file data),
+and can also serve as a *noiseless* ground-truth fixture: with zero noise
+the generated state is exactly the optimum, the contract the reference's
+``testone`` fixture approximates (tests/testone.cpp:33-42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from boslam.io.g2o import ParsedG2O
+
+
+def generate_sequence(
+    n_poses: int,
+    n_landmarks: int | None = None,
+    *,
+    seed: int = 0,
+    step_len: float = 1.0,
+    turn_every: int = 50,
+    obs_per_pose: int = 7,
+    max_range: float = 12.0,
+    odom_noise: tuple[float, float] = (0.02, 0.005),
+    bearing_noise: float = 0.01,
+    init_noise: tuple[float, float] = (0.05, 0.01),
+) -> tuple[ParsedG2O, ParsedG2O]:
+    """Returns (initial_guess, ground_truth) ParsedG2O pairs.
+
+    The ground-truth parse carries exact poses + VERTEX_XY landmarks and
+    *noisy* edges (mirroring the real data, where ig and gt files share the
+    same edge set — verified byte-identical).  The initial guess carries
+    odometry-integrated noisy poses and no landmarks.  Set all noises to 0
+    for an exact noiseless fixture.
+    """
+    rng = np.random.default_rng(seed)
+    if n_landmarks is None:
+        n_landmarks = max(8, n_poses // 2)
+
+    # --- ground-truth trajectory: noisy Manhattan-ish walk ---
+    xyt = np.zeros((n_poses, 3), np.float64)
+    heading = 0.0
+    pos = np.zeros(2)
+    for i in range(n_poses):
+        xyt[i] = (pos[0], pos[1], heading)
+        if (i + 1) % turn_every == 0:
+            heading += rng.choice([-np.pi / 2, np.pi / 2])
+        heading += rng.normal(0, 0.01)
+        pos = pos + step_len * np.array([np.cos(heading), np.sin(heading)])
+
+    # --- landmarks scattered around the trajectory ---
+    t_ix = rng.integers(0, n_poses, n_landmarks)
+    offs = rng.uniform(-max_range * 0.6, max_range * 0.6, (n_landmarks, 2))
+    lms = xyt[t_ix, :2] + offs
+
+    # --- bearing observations: nearest landmarks per pose ---
+    b_pose, b_lm, b_meas = [], [], []
+    for i in range(n_poses):
+        d2 = ((lms - xyt[i, :2]) ** 2).sum(1)
+        near = np.argsort(d2)[:obs_per_pose]
+        near = near[d2[near] < max_range**2]
+        for j in near:
+            dx, dy = lms[j] - xyt[i, :2]
+            alpha = np.arctan2(dy, dx) - xyt[i, 2]
+            alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
+            b_pose.append(i)
+            b_lm.append(j)
+            b_meas.append(alpha + rng.normal(0, bearing_noise))
+
+    # drop landmarks never observed (keeps the problem well-posed)
+    observed = np.zeros(n_landmarks, bool)
+    observed[np.asarray(b_lm, int)] = True
+    remap = -np.ones(n_landmarks, int)
+    remap[observed] = np.arange(observed.sum())
+    lms = lms[observed]
+    b_lm = remap[np.asarray(b_lm, int)]
+    n_landmarks = int(observed.sum())
+
+    # --- odometry edges with the reference's information matrix ---
+    o_src = np.arange(n_poses - 1)
+    o_dst = o_src + 1
+    o_meas = np.zeros((n_poses - 1, 3), np.float64)
+    for e in range(n_poses - 1):
+        s, d = xyt[e], xyt[e + 1]
+        c, sn = np.cos(s[2]), np.sin(s[2])
+        dt = d[:2] - s[:2]
+        o_meas[e, 0] = c * dt[0] + sn * dt[1] + rng.normal(0, odom_noise[0])
+        o_meas[e, 1] = -sn * dt[0] + c * dt[1] + rng.normal(0, odom_noise[0])
+        dth = (d[2] - s[2] + np.pi) % (2 * np.pi) - np.pi
+        o_meas[e, 2] = dth + rng.normal(0, odom_noise[1])
+    omega = np.broadcast_to(
+        np.diag([500.0, 500.0, 5000.0]).astype(np.float32),
+        (n_poses - 1, 3, 3),
+    ).copy()
+
+    # --- initial guess: integrate the noisy odometry (+ extra jitter) ---
+    ig = np.zeros_like(xyt)
+    ig[0] = xyt[0]
+    for e in range(n_poses - 1):
+        c, sn = np.cos(ig[e, 2]), np.sin(ig[e, 2])
+        ig[e + 1, 0] = ig[e, 0] + c * o_meas[e, 0] - sn * o_meas[e, 1]
+        ig[e + 1, 1] = ig[e, 1] + sn * o_meas[e, 0] + c * o_meas[e, 1]
+        ig[e + 1, 2] = ig[e, 2] + o_meas[e, 2]
+    ig[:, :2] += rng.normal(0, init_noise[0], (n_poses, 2))
+    ig[:, 2] += rng.normal(0, init_noise[1], n_poses)
+    ig[0] = xyt[0]  # the gauge pose starts exact
+
+    pose_ids = list(range(n_poses))
+    lm_ids = list(range(n_poses, n_poses + n_landmarks))
+    nb = len(b_meas)
+
+    def mk(poses, with_lms):
+        bound = float(np.abs(np.concatenate([poses[:, :2].ravel(), lms.ravel()])).max()) + 3.0
+        return ParsedG2O(
+            pose_ids=pose_ids,
+            pose_xyt=poses.astype(np.float32),
+            lm_ids=lm_ids if with_lms else [],
+            lm_xy=lms.astype(np.float32) if with_lms else np.zeros((0, 2), np.float32),
+            bearing_pose_id=np.asarray(b_pose, np.int64),
+            bearing_lm_id=np.asarray(lm_ids, np.int64)[np.asarray(b_lm, int)]
+            if nb
+            else np.zeros(0, np.int64),
+            bearing_meas=np.asarray(b_meas, np.float32),
+            bearing_omega=np.ones(nb, np.float32),
+            odom_src_id=o_src.astype(np.int64),
+            odom_dst_id=o_dst.astype(np.int64),
+            odom_meas=o_meas.astype(np.float32),
+            odom_omega=omega,
+            fixed_pose_id=0,
+            bound=bound,
+        )
+
+    return mk(ig, with_lms=False), mk(xyt, with_lms=True)
