@@ -1,0 +1,107 @@
+"""Benchmark: full-dataset bundle adjustment, ours (TPU) vs the C++ reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: Gauss-Newton iterations/second on the reference's full
+dataset (301 poses, 141 landmarks, 2432 edges, 50-iteration solve — the
+"definitely converged" count, /root/reference/README.md:23-24), excluding
+compilation, with ``jax.block_until_ready`` timing.
+
+Baseline: the ACTUAL reference C++ solver (unmodified sources compiled by
+tools/refbench, -O3 -march=native, warm sparsity pattern) measured on this
+host: see tools/refbench/baseline.json.  A fresh refbench binary is re-run
+live when present so the comparison is same-host.
+
+Correctness is asserted, not assumed: the converged chi2 must match the
+C++ solver's recorded optimum (5.882782) to 0.1%.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DATASET = "/root/reference/data/slam2D_bearing_only_initial_guess.g2o"
+ITERS = 50
+REPEATS = 3
+REF_CHI2 = 5.882782  # tools/refbench/baseline.json
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def reference_baseline() -> float:
+    """C++ reference iterations/s: live re-run if possible, else recorded."""
+    bin_path = os.path.join(REPO, "tools", "refbench", "refbench")
+    if os.path.exists(bin_path):
+        try:
+            out = subprocess.run(
+                [bin_path, DATASET, str(ITERS)],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            ).stdout.strip().splitlines()[-1]
+            val = json.loads(out)["iters_per_s"]
+            log(f"refbench live: {val:.3f} iters/s")
+            return float(val)
+        except Exception as exc:  # pragma: no cover
+            log(f"refbench live run failed ({exc}); using recorded baseline")
+    with open(os.path.join(REPO, "tools", "refbench", "baseline.json")) as f:
+        return float(json.load(f)["iters_per_s"])
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from boslam.config import SolverConfig
+    from boslam.graph.build import build_graph
+    from boslam.io.g2o import parse_g2o
+    from boslam.solver.optimizer import solve
+
+    log(f"devices: {jax.devices()}")
+
+    parsed = parse_g2o(DATASET)
+    graph, _ = build_graph(parsed, init="triangulate")
+    cfg = SolverConfig(iters=ITERS)
+
+    # compile (excluded from timing, like refbench excludes analyzePattern)
+    t0 = time.perf_counter()
+    g2, stats = jax.block_until_ready(solve(graph, cfg))
+    log(f"first (compile) run: {time.perf_counter() - t0:.2f}s")
+
+    chi2 = float(np.asarray(stats["chi2_robust"])[-1])
+    rel = abs(chi2 - REF_CHI2) / REF_CHI2
+    log(f"converged chi2_robust: {chi2:.6f} (C++ reference: {REF_CHI2}, rel {rel:.2e})")
+    assert rel < 1e-3, "converged optimum does not match the C++ reference"
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(graph, cfg))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    iters_per_s = ITERS / best
+    log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.1f} iters/s")
+
+    baseline = reference_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "ba_gn_iterations_per_second_full_dataset",
+                "value": round(iters_per_s, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

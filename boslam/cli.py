@@ -1,0 +1,335 @@
+"""Command-line driver — the rebuild of ``executables/bearing_only_slam.cpp``.
+
+The reference pipeline (bearing_only_slam.cpp:40-113): parse -> default the
+gauge pose -> triangulate -> construct solver -> interactive loop where any
+key runs 1 step, Tab runs 50, B/O toggle bearing/odometry overlays, Esc
+quits.  Headless rebuild: the solve runs as one jitted scan with a per-
+iteration chi2/ATE table (the observability the reference never prints),
+optional PNG rendering of initial/final states, g2o/npz output, sharded
+multi-device execution, and profiling.  ``--interactive`` recreates the
+step-by-step keyboard loop via matplotlib.
+
+Usage:
+  python -m boslam solve <dataset.g2o> [--gt ground_truth.g2o] [options]
+  python -m boslam synth --poses 10000 --out /tmp/synth.g2o
+  python -m boslam bench <dataset.g2o> [--iters 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_solver_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--iters", type=int, default=50, help="GN/LM iterations (reference: 50 = 'definitely converged', README.md:23)")
+    p.add_argument("--optimizer", choices=["gn", "lm"], default="gn")
+    p.add_argument("--robust", choices=["threshold", "huber", "none"], default="threshold")
+    p.add_argument("--kernel-threshold", type=float, default=1.0)
+    p.add_argument("--damping", type=float, default=0.01)
+    p.add_argument("--linear-solver", choices=["dense", "schur", "schur_cg"], default="dense")
+    p.add_argument("--cg-iters", type=int, default=100)
+    p.add_argument("--textbook-kernel", action="store_true",
+                   help="weight H by the robust weight too (disable the reference's b-side-only quirk, slam/solver.cpp:38-45)")
+    p.add_argument("--autodiff-jacobians", action="store_true",
+                   help="use jax.jacfwd instead of analytic Jacobians (the reference's numerical-Jacobian verification mode)")
+    p.add_argument("--sharded", action="store_true", help="shard edges over all devices")
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu/axon)")
+
+
+def _cfg_from_args(args):
+    from boslam.config import SolverConfig
+
+    return SolverConfig(
+        iters=args.iters,
+        optimizer=args.optimizer,
+        robust=args.robust,
+        kernel_threshold=args.kernel_threshold,
+        damping=args.damping,
+        linear_solver=args.linear_solver,
+        cg_iters=args.cg_iters,
+        reference_kernel_quirk=not args.textbook_kernel,
+        use_autodiff_jacobians=args.autodiff_jacobians,
+    )
+
+
+def cmd_solve(args) -> int:
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import numpy as np
+
+    from boslam.graph.build import build_graph
+    from boslam.io.g2o import parse_g2o, write_g2o
+    from boslam.metrics import ate_metrics, match_gt_landmarks, match_gt_poses
+
+    parsed = parse_g2o(args.dataset)
+    graph, meta = build_graph(parsed, init=args.init)
+    cfg = _cfg_from_args(args)
+    print(
+        f"loaded {graph.n_poses} poses, {graph.n_landmarks} landmarks, "
+        f"{graph.n_bearing} bearing + {graph.n_odometry} odometry edges; "
+        f"gauge pose id {meta.fixed_pose_id}",
+        file=sys.stderr,
+    )
+
+    if args.render:
+        from boslam.viz.draw import save_render
+
+        save_render(
+            args.render.replace(".png", "_initial.png"),
+            np.asarray(graph.poses),
+            np.asarray(graph.landmarks),
+            bound=meta.bound,
+            bearings=(np.asarray(graph.b_pose), np.asarray(graph.b_meas)),
+            odometries=(np.asarray(graph.o_src), np.asarray(graph.o_meas)),
+            iteration=0,
+            max_iterations=cfg.iters,
+        )
+
+    if args.interactive:
+        return _interactive_loop(graph, meta, cfg)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    t0 = time.perf_counter()
+    if args.sharded:
+        from boslam.parallel.sharded import sharded_solve
+
+        g2, stats = jax.block_until_ready(sharded_solve(graph, cfg))
+    else:
+        from boslam.solver.optimizer import solve
+
+        g2, stats = jax.block_until_ready(solve(graph, cfg))
+    wall = time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {args.profile}", file=sys.stderr)
+
+    # per-iteration table
+    chi2 = np.asarray(stats["chi2_robust"])
+    chib = np.asarray(stats["chi2_bearing"])
+    chio = np.asarray(stats["chi2_odometry"])
+    acc = np.asarray(stats["accepted"])
+    lam = np.asarray(stats["damping"])
+    print("iter  chi2_robust  chi2_bearing  chi2_odom  damping  accepted")
+    for i in range(cfg.iters):
+        print(
+            f"{i:4d}  {chi2[i]:11.6f}  {chib[i]:12.6f}  {chio[i]:9.6f}"
+            f"  {lam[i]:.2e}  {bool(acc[i])}"
+        )
+    print(
+        f"solved {cfg.iters} iterations in {wall:.3f}s "
+        f"({cfg.iters / wall:.1f} iters/s incl. compile)",
+        file=sys.stderr,
+    )
+    if not np.asarray(stats["spd_ok"]).all():
+        # the reference's non-SPD warning (slam/solver.cpp:82-84)
+        print("warning: non-SPD system encountered in some iterations", file=sys.stderr)
+
+    if args.gt:
+        gt = parse_g2o(args.gt)
+        m = ate_metrics(
+            np.asarray(g2.poses),
+            match_gt_poses(meta, gt),
+            np.asarray(g2.landmarks),
+            match_gt_landmarks(meta, gt),
+        )
+        print("ATE vs ground truth: " + json.dumps(m, indent=None))
+
+    if args.render:
+        from boslam.viz.draw import save_render
+
+        save_render(
+            args.render,
+            np.asarray(g2.poses),
+            np.asarray(g2.landmarks),
+            bound=meta.bound,
+            iteration=cfg.iters,
+            max_iterations=cfg.iters,
+        )
+        print(f"renders written to {args.render}", file=sys.stderr)
+
+    if args.out:
+        write_g2o(
+            args.out,
+            meta.pose_ids,
+            np.asarray(g2.poses),
+            meta.lm_ids,
+            np.asarray(g2.landmarks),
+            parsed=parsed,
+            fixed_pose_id=meta.fixed_pose_id,
+        )
+        print(f"optimized state written to {args.out}", file=sys.stderr)
+    if args.save:
+        from boslam.io.checkpoint import save_npz
+
+        save_npz(args.save, g2, meta, iteration=cfg.iters)
+        print(f"checkpoint written to {args.save}", file=sys.stderr)
+    return 0
+
+
+def _interactive_loop(graph, meta, cfg) -> int:
+    """Matplotlib key-event loop mirroring bearing_only_slam.cpp:88-113:
+    any key = 1 step, tab = 50 steps, b/o toggle overlays, esc quits."""
+    import matplotlib
+
+    matplotlib.use(matplotlib.get_backend())  # whatever interactive backend exists
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from boslam.solver.optimizer import gn_step, lm_step
+    from boslam.viz.draw import render_state
+
+    state = {"g": graph, "it": 0, "show_b": False, "show_o": False, "lam": cfg.lm_lambda0}
+    fig, ax = plt.subplots(figsize=(8, 8))
+
+    def step_n(n):
+        import jax.numpy as jnp
+
+        for _ in range(n):
+            if cfg.optimizer == "lm":
+                g2, lam, stats = lm_step(state["g"], jnp.asarray(state["lam"]), cfg)
+                state["lam"] = float(lam)
+            else:
+                g2, stats = gn_step(state["g"], cfg)
+            state["g"] = g2
+            state["it"] += 1
+        print(f"iter {state['it']}: chi2_robust={float(stats['chi2_robust']):.6f}")
+
+    def redraw():
+        ax.clear()
+        g = state["g"]
+        render_state(
+            np.asarray(g.poses),
+            np.asarray(g.landmarks),
+            bound=meta.bound,
+            bearings=(np.asarray(g.b_pose), np.asarray(g.b_meas)) if state["show_b"] else None,
+            odometries=(np.asarray(g.o_src), np.asarray(g.o_meas)) if state["show_o"] else None,
+            iteration=state["it"],
+            max_iterations=max(cfg.iters, state["it"] + 1),
+            ax=ax,
+        )
+        fig.canvas.draw_idle()
+
+    def on_key(event):
+        if event.key == "escape":
+            plt.close(fig)
+            return
+        elif event.key == "tab":
+            print("Running 50 steps, hold on...")
+            step_n(50)
+            print("Done!")
+        elif event.key == "b":
+            state["show_b"] = not state["show_b"]
+        elif event.key == "o":
+            state["show_o"] = not state["show_o"]
+        else:
+            step_n(1)
+        redraw()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    redraw()
+    plt.show()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import numpy as np
+
+    from boslam.io.g2o import write_g2o
+    from boslam.synth import generate_sequence
+
+    ig, gt = generate_sequence(args.poses, args.landmarks, seed=args.seed)
+    for parsed, suffix in ((ig, ""), (gt, "_ground_truth")):
+        path = args.out.replace(".g2o", f"{suffix}.g2o") if suffix else args.out
+        write_g2o(
+            path,
+            parsed.pose_ids,
+            parsed.pose_xyt,
+            parsed.lm_ids,
+            parsed.lm_xy,
+            parsed=parsed,
+            fixed_pose_id=parsed.fixed_pose_id,
+        )
+        print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import numpy as np
+
+    from boslam.graph.build import build_graph
+    from boslam.io.g2o import parse_g2o
+    from boslam.solver.optimizer import solve
+
+    parsed = parse_g2o(args.dataset)
+    graph, _ = build_graph(parsed, init=args.init)
+    cfg = _cfg_from_args(args)
+    t0 = time.perf_counter()
+    _, stats = jax.block_until_ready(solve(graph, cfg))
+    compile_wall = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(graph, cfg))
+        times.append(time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "n_poses": graph.n_poses,
+                "n_landmarks": graph.n_landmarks,
+                "n_edges": graph.n_bearing + graph.n_odometry,
+                "iters": cfg.iters,
+                "compile_plus_run_s": round(compile_wall, 4),
+                "best_run_s": round(min(times), 4),
+                "iters_per_s": round(cfg.iters / min(times), 2),
+                "final_chi2": float(np.asarray(stats["chi2_robust"])[-1]),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="boslam", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve", help="optimize a g2o pose graph")
+    ps.add_argument("dataset")
+    ps.add_argument("--gt", default=None, help="ground-truth g2o for ATE")
+    ps.add_argument("--init", choices=["auto", "triangulate", "file"], default="auto")
+    ps.add_argument("--out", default=None, help="write optimized g2o")
+    ps.add_argument("--save", default=None, help="write npz checkpoint")
+    ps.add_argument("--render", default=None, help="write PNG render(s)")
+    ps.add_argument("--profile", default=None, help="write jax profiler trace dir")
+    ps.add_argument("--interactive", action="store_true")
+    _add_solver_args(ps)
+    ps.set_defaults(fn=cmd_solve)
+
+    pg = sub.add_parser("synth", help="generate a synthetic sequence")
+    pg.add_argument("--poses", type=int, default=10000)
+    pg.add_argument("--landmarks", type=int, default=None)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--out", required=True)
+    pg.set_defaults(fn=cmd_synth)
+
+    pb = sub.add_parser("bench", help="time a solve")
+    pb.add_argument("dataset")
+    pb.add_argument("--init", choices=["auto", "triangulate", "file"], default="auto")
+    _add_solver_args(pb)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

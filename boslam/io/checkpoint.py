@@ -1,0 +1,57 @@
+"""Checkpoint / resume — a capability the reference entirely lacks
+(SURVEY §5: "state lives only in memory; no writer for g2o or any other
+format").
+
+Two formats:
+- npz: full solver snapshot (state + iteration + optimizer damping) for
+  exact iteration-level resume;
+- g2o: interoperable output via boslam.io.g2o.write_g2o (the optimized
+  state re-emitted with original ids + original edges).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from boslam.graph.data import FactorGraph, GraphMeta
+
+
+def save_npz(
+    path: str,
+    graph: FactorGraph,
+    meta: GraphMeta,
+    iteration: int = 0,
+    lm_lambda: Optional[float] = None,
+) -> None:
+    np.savez_compressed(
+        path,
+        poses=np.asarray(graph.poses),
+        landmarks=np.asarray(graph.landmarks),
+        pose_ids=np.asarray(meta.pose_ids, np.int64),
+        lm_ids=np.asarray(meta.lm_ids, np.int64),
+        fixed_pose_id=np.int64(meta.fixed_pose_id),
+        bound=np.float64(meta.bound),
+        iteration=np.int64(iteration),
+        lm_lambda=np.float64(-1.0 if lm_lambda is None else lm_lambda),
+    )
+
+
+def load_npz(path: str, graph: FactorGraph, meta: GraphMeta) -> Tuple[FactorGraph, GraphMeta, int, Optional[float]]:
+    """Restore state into an existing problem (edges come from the g2o).
+
+    Validates that the checkpoint belongs to the same problem (same id
+    sets) before overwriting the state.
+    """
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    if list(z["pose_ids"]) != meta.pose_ids or list(z["lm_ids"]) != meta.lm_ids:
+        raise ValueError(f"checkpoint {path} belongs to a different problem")
+    g = graph.with_state(
+        jnp.asarray(z["poses"], graph.poses.dtype),
+        jnp.asarray(z["landmarks"], graph.landmarks.dtype),
+    )
+    lam = float(z["lm_lambda"])
+    return g, meta, int(z["iteration"]), (None if lam < 0 else lam)
