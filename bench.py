@@ -4,17 +4,23 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: Gauss-Newton iterations/second on the reference's full
-dataset (301 poses, 141 landmarks, 2432 edges, 50-iteration solve — the
+dataset (301 poses, 141 landmarks, 2432 edges; 50 iterations = the
 "definitely converged" count, /root/reference/README.md:23-24), excluding
-compilation, with ``jax.block_until_ready`` timing.
+compilation, ``jax.block_until_ready`` timing.
 
-Baseline: the ACTUAL reference C++ solver (unmodified sources compiled by
-tools/refbench, -O3 -march=native, warm sparsity pattern) measured on this
-host: see tools/refbench/baseline.json.  A fresh refbench binary is re-run
-live when present so the comparison is same-host.
+Baseline: the ACTUAL reference C++ solver — its unmodified sources compiled
+by tools/refbench (-O3 -march=native, Eigen SimplicialLDLT with cached
+sparsity pattern) and re-run live on this host when the binary exists;
+otherwise the recorded tools/refbench/baseline.json (2.6 iters/s).
 
-Correctness is asserted, not assumed: the converged chi2 must match the
-C++ solver's recorded optimum (5.882782) to 0.1%.
+Correctness is asserted, not assumed: the converged chi2 must match the C++
+solver's recorded optimum (5.882782) to 0.1%.
+
+Implementation note: the per-step jit (gn_step) is dispatched from a Python
+loop rather than one lax.scan megaprogram — on the tunneled TPU backend the
+remote-compile service intermittently stalls on large programs while the
+single-step program compiles reliably in ~3 s; dispatch overhead is ~0.1 ms
+per step and is INCLUDED in the measured time (it is real serving overhead).
 """
 
 import json
@@ -28,7 +34,7 @@ sys.path.insert(0, REPO)
 
 DATASET = "/root/reference/data/slam2D_bearing_only_initial_guess.g2o"
 ITERS = 50
-REPEATS = 3
+REPEATS = 5
 REF_CHI2 = 5.882782  # tools/refbench/baseline.json
 
 
@@ -39,13 +45,18 @@ def log(*a):
 def reference_baseline() -> float:
     """C++ reference iterations/s: live re-run if possible, else recorded."""
     bin_path = os.path.join(REPO, "tools", "refbench", "refbench")
+    if not os.path.exists(bin_path):
+        r = subprocess.run(
+            ["make", "-C", os.path.join(REPO, "tools", "refbench")],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            log("refbench build failed; using recorded baseline")
     if os.path.exists(bin_path):
         try:
             out = subprocess.run(
                 [bin_path, DATASET, str(ITERS)],
-                capture_output=True,
-                text=True,
-                timeout=600,
+                capture_output=True, text=True, timeout=600,
             ).stdout.strip().splitlines()[-1]
             val = json.loads(out)["iters_per_s"]
             log(f"refbench live: {val:.3f} iters/s")
@@ -63,7 +74,8 @@ def main():
     from boslam.config import SolverConfig
     from boslam.graph.build import build_graph
     from boslam.io.g2o import parse_g2o
-    from boslam.solver.optimizer import solve
+    from boslam.solver.normal_eq import chi2_stats, edge_terms
+    from boslam.solver.optimizer import gn_step
 
     log(f"devices: {jax.devices()}")
 
@@ -71,33 +83,44 @@ def main():
     graph, _ = build_graph(parsed, init="triangulate")
     cfg = SolverConfig(iters=ITERS)
 
-    # compile (excluded from timing, like refbench excludes analyzePattern)
-    t0 = time.perf_counter()
-    g2, stats = jax.block_until_ready(solve(graph, cfg))
-    log(f"first (compile) run: {time.perf_counter() - t0:.2f}s")
+    step = jax.jit(lambda g: gn_step(g, cfg))
 
-    chi2 = float(np.asarray(stats["chi2_robust"])[-1])
+    # compile (excluded, like refbench's analyzePattern warm-up step)
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(graph)[0].poses)
+    log(f"gn_step compile: {time.perf_counter() - t0:.2f}s")
+
+    # correctness: run the full 50-iteration solve once and check the optimum
+    g = graph
+    for _ in range(ITERS):
+        g, stats = step(g)
+    final_terms = jax.jit(lambda g: chi2_stats(edge_terms(g, cfg), cfg))(g)
+    chi2 = float(np.asarray(final_terms["chi2_robust"]))
     rel = abs(chi2 - REF_CHI2) / REF_CHI2
     log(f"converged chi2_robust: {chi2:.6f} (C++ reference: {REF_CHI2}, rel {rel:.2e})")
     assert rel < 1e-3, "converged optimum does not match the C++ reference"
 
+    # timing: 50 steps per repeat, best-of
     times = []
     for _ in range(REPEATS):
+        g = graph
         t0 = time.perf_counter()
-        jax.block_until_ready(solve(graph, cfg))
+        for _ in range(ITERS):
+            g, _stats = step(g)
+        jax.block_until_ready(g.poses)
         times.append(time.perf_counter() - t0)
     best = min(times)
     iters_per_s = ITERS / best
-    log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.1f} iters/s")
+    log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.0f} iters/s")
 
     baseline = reference_baseline()
     print(
         json.dumps(
             {
                 "metric": "ba_gn_iterations_per_second_full_dataset",
-                "value": round(iters_per_s, 2),
+                "value": round(iters_per_s, 1),
                 "unit": "iters/s",
-                "vs_baseline": round(iters_per_s / baseline, 2),
+                "vs_baseline": round(iters_per_s / baseline, 1),
             }
         )
     )
