@@ -40,6 +40,24 @@ class SolverConfig:
     cg_iters: int = 100
     cg_tol: float = 1e-5
 
+    # --- normal-equation assembly strategy ---
+    # "scatter": index gathers + scatter-adds (general; right at large N).
+    # "matmul":  one-hot design-matrix formulation — every gather/segment-sum
+    #            becomes an MXU matmul.  TPU gathers over tiny (3- and
+    #            2-wide) rows are latency-bound; at reference scale this
+    #            assembly is ~10x faster on TPU.  Memory: O(E*N) for the
+    #            design matrix, so only for small-to-medium problems.
+    # "auto":    "matmul" when E*N is small enough, else "scatter".
+    assembly: str = "auto"  # "auto" | "scatter" | "matmul"
+    matmul_assembly_budget: int = 40_000_000  # max E*N elements for "auto"
+
+    # --- dense linear-solve backend ---
+    # "xla":    jax.scipy cho_factor/cho_solve (many small kernels).
+    # "pallas": single fused VMEM-resident blocked Cholesky kernel
+    #           (boslam/ops/pallas_cholesky.py) — TPU only, N <= ~1600.
+    # "auto":   pallas on TPU backends when the size fits, else xla.
+    cholesky_backend: str = "auto"  # "auto" | "xla" | "pallas"
+
     # --- iteration control ---
     iters: int = 50  # reference "definitely converged" count (README.md:23-24)
 

@@ -38,8 +38,24 @@ def gauge_mask(N: int, n_poses: int, fixed_pose_ix: jnp.ndarray, dtype) -> jnp.n
     return jnp.where(is_fixed, jnp.zeros((), dtype), jnp.ones((), dtype))
 
 
+def _use_pallas_cholesky(N: int, cfg: SolverConfig | None) -> bool:
+    if cfg is None or cfg.cholesky_backend == "xla":
+        return False
+    from boslam.ops.pallas_cholesky import MAX_VMEM_DIM, pad_dim
+
+    fits = pad_dim(N) <= MAX_VMEM_DIM
+    if cfg.cholesky_backend == "pallas":
+        return fits
+    # auto: only on real accelerator backends (interpret mode on CPU would
+    # be slower than LAPACK and is exercised separately in tests)
+    return fits and jax.default_backend() != "cpu"
+
+
 def solve_gauge_fixed(
-    H: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray
+    H: jnp.ndarray,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: SolverConfig | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve H delta = -b with the fixed pose pinned to zero delta.
 
@@ -50,8 +66,13 @@ def solve_gauge_fixed(
     """
     Hm = mask[:, None] * H * mask[None, :] + jnp.diag(1.0 - mask)
     bm = mask * b
-    chol, lower = jsl.cho_factor(Hm, lower=True)
-    delta = jsl.cho_solve((chol, lower), -bm)
+    if _use_pallas_cholesky(H.shape[0], cfg):
+        from boslam.ops.pallas_cholesky import cholesky_solve
+
+        delta = cholesky_solve(Hm, -bm)
+    else:
+        chol, lower = jsl.cho_factor(Hm, lower=True)
+        delta = jsl.cho_solve((chol, lower), -bm)
     spd_ok = jnp.logical_not(jnp.any(jnp.isnan(delta)))
     # NaN-guard (SURVEY §5 failure detection): a poisoned delta would corrupt
     # the state irrecoverably; freeze instead.
@@ -75,7 +96,7 @@ def gn_build_and_solve(
     N = g.state_dim
     H = H + damping * jnp.eye(N, dtype=H.dtype)
     mask = gauge_mask(N, g.n_poses, g.fixed_pose_ix, H.dtype)
-    delta, spd_ok = solve_gauge_fixed(H, b, mask)
+    delta, spd_ok = solve_gauge_fixed(H, b, mask, cfg)
     dp, dl = unpack_delta(delta, g.n_poses, g.n_landmarks)
     return dp, dl, terms, spd_ok
 

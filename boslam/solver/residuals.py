@@ -74,6 +74,12 @@ def predict_odometry(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def bearing_error_from(p: jnp.ndarray, l: jnp.ndarray, b_meas: jnp.ndarray):
+    """Error from pre-gathered per-edge poses/landmarks (gather strategy is
+    the caller's: index-take or one-hot matmul, see normal_eq.edge_terms)."""
+    return wrap_angle(predict_bearing(p, l) - b_meas)
+
+
 def bearing_error(
     poses: jnp.ndarray,
     landmarks: jnp.ndarray,
@@ -82,9 +88,13 @@ def bearing_error(
     b_meas: jnp.ndarray,
 ) -> jnp.ndarray:
     """Wrapped angular error for every bearing edge: f32[NB]."""
-    p = poses[b_pose]
-    l = landmarks[b_lm]
-    return wrap_angle(predict_bearing(p, l) - b_meas)
+    return bearing_error_from(poses[b_pose], landmarks[b_lm], b_meas)
+
+
+def odometry_error_from(src: jnp.ndarray, dst: jnp.ndarray, o_meas: jnp.ndarray):
+    """Error from pre-gathered per-edge source/destination poses."""
+    err = predict_odometry(src, dst) - o_meas
+    return err.at[..., 2].set(wrap_angle(err[..., 2]))
 
 
 def odometry_error(
@@ -94,9 +104,7 @@ def odometry_error(
     o_meas: jnp.ndarray,
 ) -> jnp.ndarray:
     """Euclidean-minus error with wrapped angle component: f32[NO, 3]."""
-    pred = predict_odometry(poses[o_src], poses[o_dst])
-    err = pred - o_meas
-    return err.at[..., 2].set(wrap_angle(err[..., 2]))
+    return odometry_error_from(poses[o_src], poses[o_dst], o_meas)
 
 
 # ---------------------------------------------------------------------------
@@ -104,19 +112,13 @@ def odometry_error(
 # ---------------------------------------------------------------------------
 
 
-def bearing_jacobians(
-    poses: jnp.ndarray,
-    landmarks: jnp.ndarray,
-    b_pose: jnp.ndarray,
-    b_lm: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-edge blocks (J_pose f32[NB, 3], J_lm f32[NB, 2]).
+def bearing_jacobians_from(p: jnp.ndarray, l: jnp.ndarray):
+    """Per-edge blocks (J_pose f32[NB, 3], J_lm f32[NB, 2]) from
+    pre-gathered per-edge poses/landmarks.
 
     Dense-block formulation of solver_jacobians.cpp:30-95 evaluated at
     delta = 0, for all edges at once.
     """
-    p = poses[b_pose]
-    l = landmarks[b_lm]
     c, s = jnp.cos(p[..., 2]), jnp.sin(p[..., 2])
     g = inverse_transform_point(p, l)
     gx, gy = g[..., 0], g[..., 1]
@@ -139,15 +141,22 @@ def bearing_jacobians(
     return j_pose, j_lm
 
 
-def odometry_jacobians(
-    poses: jnp.ndarray, o_src: jnp.ndarray, o_dst: jnp.ndarray
+def bearing_jacobians(
+    poses: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    b_pose: jnp.ndarray,
+    b_lm: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-edge blocks (J_src f32[NO, 3, 3], J_dst f32[NO, 3, 3]).
+    """Per-edge blocks (J_pose f32[NB, 3], J_lm f32[NB, 2])."""
+    return bearing_jacobians_from(poses[b_pose], landmarks[b_lm])
+
+
+def odometry_jacobians_from(src: jnp.ndarray, dst: jnp.ndarray):
+    """Per-edge blocks (J_src f32[NO, 3, 3], J_dst f32[NO, 3, 3]) from
+    pre-gathered per-edge source/destination poses.
 
     Dense-block formulation of solver_jacobians.cpp:125-166 at delta = 0.
     """
-    src = poses[o_src]
-    dst = poses[o_dst]
     c, s = jnp.cos(src[..., 2]), jnp.sin(src[..., 2])
     tdx, tdy = dst[..., 0], dst[..., 1]
 
@@ -179,6 +188,13 @@ def odometry_jacobians(
         axis=-2,
     )
     return j_src, j_dst
+
+
+def odometry_jacobians(
+    poses: jnp.ndarray, o_src: jnp.ndarray, o_dst: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge blocks (J_src f32[NO, 3, 3], J_dst f32[NO, 3, 3])."""
+    return odometry_jacobians_from(poses[o_src], poses[o_dst])
 
 
 # ---------------------------------------------------------------------------
