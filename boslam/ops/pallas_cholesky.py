@@ -44,15 +44,16 @@ def _tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     """
     n = L.shape[0]
     if n == 8:
-        # X = inv(L) column-by-column, fully unrolled (static)
+        # X = inv(L) row-by-row, fully unrolled (static); all shapes kept
+        # 2D — Mosaic mishandles 1D vector relayouts.
         eye = jnp.eye(8, dtype=L.dtype)
         rows = []
         for j in range(8):
-            acc = eye[j]
+            acc = eye[j : j + 1, :]  # (1, 8)
             for k in range(j):
                 acc = acc - L[j, k] * rows[k]
             rows.append(acc / L[j, j])
-        return jnp.stack(rows)
+        return jnp.concatenate(rows, axis=0)
     h = n // 2
     A = L[:h, :h]
     Bl = L[h:, :h]
@@ -66,22 +67,29 @@ def _tri_inv(L: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chol_tile(A: jnp.ndarray) -> jnp.ndarray:
-    """Unblocked Cholesky of a (B, B) SPD tile via a column fori_loop."""
+    """Unblocked Cholesky of a (B, B) SPD tile via a column fori_loop.
+
+    Mosaic-safe: no dynamic value slicing — column j is extracted with an
+    iota-mask reduction (supported VPU ops) instead of dynamic_slice.
+    """
     n = A.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rcol = row_ids[:, 0:1]  # (n, 1) — strictly 2D for Mosaic
+    # only the lower triangle of A is maintained by the blocked outer loop;
+    # symmetrize so the eliminations see a consistent tile
+    A = jnp.where(row_ids >= col_ids, A, 0.0)
+    A = A + jnp.transpose(jnp.where(row_ids > col_ids, A, 0.0))
 
     def body(j, carry):
         A, L = carry
-        d = jax.lax.rsqrt(jax.lax.dynamic_index_in_dim(
-            jax.lax.dynamic_index_in_dim(A, j, 0, keepdims=False), j, 0,
-            keepdims=False,
-        ))
-        col = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=1)[:, 0] * d  # (n,)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        col = jnp.where(ids >= j, col, 0.0)
-        A = A - col[:, None] * col[None, :]
-        L = L + col[:, None] * (col_ids[0] == j).astype(L.dtype)[None, :]
+        colmask = col_ids == j
+        col = jnp.sum(jnp.where(colmask, A, 0.0), axis=1, keepdims=True)  # (n,1)
+        ajj = jnp.sum(jnp.where((row_ids == j) & colmask, A, 0.0))  # A[j, j]
+        d = jax.lax.rsqrt(ajj)
+        col = jnp.where(rcol >= j, col * d, 0.0)  # (n, 1)
+        A = A - col * jnp.transpose(col)  # rank-1 update, (n,1)*(1,n)
+        L = L + col * colmask.astype(L.dtype)
         return A, L
 
     _, L = jax.lax.fori_loop(0, n, body, (A, jnp.zeros_like(A)))
@@ -90,35 +98,50 @@ def _chol_tile(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_kernel(nb: int):
-    """Build the fused kernel for an nb-block (nb*B square) system."""
+    """Build the fused kernel for an nb-block (nb*B square) system.
 
-    def kernel(H_ref, b_ref, x_ref, W_ref, Linv_ref, y_ref):
-        # working copy of H in VMEM scratch (input refs stay read-only)
-        W_ref[:, :] = H_ref[:, :]
+    ``L_ref`` aliases the H input buffer (input_output_aliases) — it holds
+    H on entry and is factorized in place into L; only the lower triangle
+    is maintained (``_chol_tile`` symmetrizes its diagonal tile).  Trailing
+    updates run tile-by-tile so peak VMEM stays at H + Linv + O(tile).
+    """
 
+    def kernel(b_ref, H_ref, L_ref, x_ref, Linv_ref, y_ref):
+        # H_ref and L_ref alias the same buffer; only L_ref is touched.
+        del H_ref
         # ---- blocked right-looking factorization (static unroll) ----
         for k in range(nb):
             k0 = k * B
-            Lkk = _chol_tile(W_ref[k0 : k0 + B, k0 : k0 + B])
+            Lkk = _chol_tile(L_ref[k0 : k0 + B, k0 : k0 + B])
             Linv = _tri_inv(Lkk)
             Linv_ref[k] = Linv
-            W_ref[k0 : k0 + B, k0 : k0 + B] = Lkk
-            if k < nb - 1:
-                r0 = (k + 1) * B
-                panel = W_ref[r0:, k0 : k0 + B]  # (rest, B)
-                P = jnp.dot(panel, Linv.T, precision=_HIGH)
-                W_ref[r0:, k0 : k0 + B] = P
-                W_ref[r0:, r0:] = W_ref[r0:, r0:] - jnp.dot(
-                    P, P.T, precision=_HIGH
+            L_ref[k0 : k0 + B, k0 : k0 + B] = Lkk
+            LinvT = jnp.transpose(Linv)
+            for i in range(k + 1, nb):
+                i0 = i * B
+                L_ref[i0 : i0 + B, k0 : k0 + B] = jnp.dot(
+                    L_ref[i0 : i0 + B, k0 : k0 + B], LinvT, precision=_HIGH
                 )
+            for i in range(k + 1, nb):
+                i0 = i * B
+                Pi = L_ref[i0 : i0 + B, k0 : k0 + B]
+                for j in range(k + 1, i + 1):
+                    j0 = j * B
+                    Pj = L_ref[j0 : j0 + B, k0 : k0 + B]
+                    L_ref[i0 : i0 + B, j0 : j0 + B] = L_ref[
+                        i0 : i0 + B, j0 : j0 + B
+                    ] - jnp.dot(Pi, jnp.transpose(Pj), precision=_HIGH)
 
         # ---- forward substitution: L y = b ----
         for i in range(nb):
             i0 = i * B
             acc = b_ref[i0 : i0 + B, :]  # (B, 1)
-            if i > 0:
+            for j in range(i):
+                j0 = j * B
                 acc = acc - jnp.dot(
-                    W_ref[i0 : i0 + B, :i0], y_ref[:i0, :], precision=_HIGH
+                    L_ref[i0 : i0 + B, j0 : j0 + B],
+                    y_ref[j0 : j0 + B, :],
+                    precision=_HIGH,
                 )
             y_ref[i0 : i0 + B, :] = jnp.dot(Linv_ref[i], acc, precision=_HIGH)
 
@@ -126,13 +149,15 @@ def _make_kernel(nb: int):
         for i in reversed(range(nb)):
             i0 = i * B
             acc = y_ref[i0 : i0 + B, :]
-            if i < nb - 1:
-                r0 = (i + 1) * B
+            for j in range(i + 1, nb):
+                j0 = j * B
                 acc = acc - jnp.dot(
-                    W_ref[r0:, i0 : i0 + B].T, x_ref[r0:, :], precision=_HIGH
+                    jnp.transpose(L_ref[j0 : j0 + B, i0 : i0 + B]),
+                    x_ref[j0 : j0 + B, :],
+                    precision=_HIGH,
                 )
             x_ref[i0 : i0 + B, :] = jnp.dot(
-                Linv_ref[i].T, acc, precision=_HIGH
+                jnp.transpose(Linv_ref[i]), acc, precision=_HIGH
             )
 
     return kernel
@@ -144,21 +169,28 @@ def cholesky_solve_padded(H: jnp.ndarray, b: jnp.ndarray, interpret: bool = Fals
     Np = H.shape[0]
     nb = Np // B
     assert Np % B == 0
-    x = pl.pallas_call(
+    # H (input 1) aliases the L output: factorized in place, no working copy
+    _, x = pl.pallas_call(
         _make_kernel(nb),
-        out_shape=jax.ShapeDtypeStruct((Np, 1), H.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, Np), H.dtype),  # L (aliases H)
+            jax.ShapeDtypeStruct((Np, 1), H.dtype),  # x
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((Np, Np), H.dtype),  # working H -> L
             pltpu.VMEM((nb, B, B), H.dtype),  # diagonal-tile inverses
             pltpu.VMEM((Np, 1), H.dtype),  # forward-substitution y
         ],
+        input_output_aliases={1: 0},  # H input (index 1 incl. b) -> L output
         interpret=interpret,
-    )(H, b[:, None])
+    )(b[:, None], H)
     return x[:, 0]
 
 
