@@ -83,12 +83,17 @@ def build_blocks(
     dtype = g.poses.dtype
     damping = jnp.asarray(damping, dtype)
 
+    # TPU row-indexed ops cost per ROW regardless of width (measured
+    # ~16 ns/row), so all same-key reductions are fused into single
+    # multi-channel segment_sums.
     seg_p = lambda v, ix: jax.ops.segment_sum(v, ix, num_segments=NP_)
     seg_l = lambda v, ix: jax.ops.segment_sum(v, ix, num_segments=NL)
 
     # --- bearing edge contributions ---
     wH_b = (g.b_omega * terms.bw_H)[:, None, None]
     jp, jl = terms.bjp, terms.bjl  # [NB,3], [NB,2]
+    NB = jp.shape[0]
+    NO = terms.ojs.shape[0]
     Hpp_b = wH_b * jp[:, :, None] * jp[:, None, :]  # [NB,3,3]
     Hll_b = wH_b * jl[:, :, None] * jl[:, None, :]  # [NB,2,2]
     Hpl = wH_b * jp[:, :, None] * jl[:, None, :]  # [NB,3,2]
@@ -96,10 +101,10 @@ def build_blocks(
     bp_b = coef_b * jp  # [NB,3]
     bl_b = coef_b * jl  # [NB,2]
 
-    Hpp_diag = seg_p(Hpp_b, g.b_pose)
-    Hll = seg_l(Hll_b, g.b_lm)
-    bp = seg_p(bp_b, g.b_pose)
-    bl = seg_l(bl_b, g.b_lm)
+    lm_payload = jnp.concatenate([Hll_b.reshape(NB, 4), bl_b], axis=1)
+    lm_sums = seg_l(lm_payload, g.b_lm)
+    Hll = lm_sums[:, :4].reshape(NL, 2, 2)
+    bl = lm_sums[:, 4:6]
 
     # --- odometry edge contributions ---
     js, jd = terms.ojs, terms.ojd  # [NO,3,3]
@@ -113,8 +118,19 @@ def build_blocks(
     bp_s = jnp.einsum("eij,ei->ej", js, e_w)
     bp_d = jnp.einsum("eij,ei->ej", jd, e_w)
 
-    Hpp_diag = Hpp_diag + seg_p(H_ss, g.o_src) + seg_p(H_dd, g.o_dst)
-    bp = bp + seg_p(bp_s, g.o_src) + seg_p(bp_d, g.o_dst)
+    # single pose-keyed segment_sum over bearing + both odometry endpoints
+    pose_idx = jnp.concatenate([g.b_pose, g.o_src, g.o_dst])
+    pose_payload = jnp.concatenate(
+        [
+            jnp.concatenate([Hpp_b.reshape(NB, 9), bp_b], axis=1),
+            jnp.concatenate([H_ss.reshape(NO, 9), bp_s], axis=1),
+            jnp.concatenate([H_dd.reshape(NO, 9), bp_d], axis=1),
+        ],
+        axis=0,
+    )
+    pose_sums = seg_p(pose_payload, pose_idx)
+    Hpp_diag = pose_sums[:, :9].reshape(NP_, 3, 3)
+    bp = pose_sums[:, 9:12]
 
     # Complete the cross-device reductions before damping/inversion.
     if axis_name is not None:
@@ -160,11 +176,17 @@ def s_matvec(
     NP_, NL = g.n_poses, g.n_landmarks
     xm = x * mask
 
-    # Odometry couplings (sd and its transpose) — edge-sharded partials.
-    y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd, xm[g.o_dst])
-    y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd, xm[g.o_src])
-    y_edge = jax.ops.segment_sum(y_sd, g.o_src, num_segments=NP_)
-    y_edge = y_edge + jax.ops.segment_sum(y_ds, g.o_dst, num_segments=NP_)
+    # Odometry couplings (sd and its transpose) — fused into one gather and
+    # one segment_sum over the concatenated endpoint keys.
+    x_ends = xm[jnp.concatenate([g.o_dst, g.o_src])]  # [2*NO, 3]
+    NO = g.n_odometry
+    y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd, x_ends[:NO])
+    y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd, x_ends[NO:])
+    y_edge = jax.ops.segment_sum(
+        jnp.concatenate([y_sd, y_ds]),
+        jnp.concatenate([g.o_src, g.o_dst]),
+        num_segments=NP_,
+    )
 
     # Hlp @ x pieces — edge-sharded partials into landmark space.
     z = jnp.einsum("eji,ej->ei", blocks.Hpl, xm[g.b_pose])  # [NB,2]
