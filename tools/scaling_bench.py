@@ -1,0 +1,144 @@
+"""Scaling benchmark harness (BASELINE.json configs 1-5).
+
+Runs each configured scenario, prints one JSON record per line (stderr has
+progress).  Usage:
+
+  python tools/scaling_bench.py [--configs 1 2 3 4 5] [--poses-override N]
+
+Config map (BASELINE.json):
+  1  mini dataset GN solve, chi2 convergence
+  2  full dataset: triangulation + 50-iter GN, ATE vs ground truth
+  3  LM + Huber variant on the full dataset
+  4  single-chip 10k-pose synthetic, Schur+PCG
+  5  100k-pose synthetic, Schur+PCG (single chip here; the sharded solve
+     is validated on the virtual CPU mesh by tests/test_sharded.py and
+     __graft_entry__.dryrun_multichip — multi-chip hardware is not
+     attached in this environment)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA = "/root/reference/data"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timed_steps(graph, cfg, iters, repeats=3):
+    import jax
+
+    from boslam.solver.optimizer import gn_step
+
+    step = jax.jit(lambda g: gn_step(g, cfg))
+    jax.block_until_ready(step(graph)[0].poses)
+    best = float("inf")
+    for _ in range(repeats):
+        g = graph
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g, _s = step(g)
+        jax.block_until_ready(g.poses)
+        best = min(best, time.perf_counter() - t0)
+    return best, g
+
+
+def config_1_2_3(which: int):
+    import numpy as np
+
+    from boslam.config import SolverConfig
+    from boslam.graph.build import build_graph
+    from boslam.io.g2o import parse_g2o
+    from boslam.metrics import ate_metrics, match_gt_poses
+    from boslam.solver.optimizer import solve
+
+    if which == 1:
+        ig = parse_g2o(f"{DATA}/mini_initial_guess.g2o")
+        gt = parse_g2o(f"{DATA}/mini_ground_truth.g2o")
+        cfg = SolverConfig(iters=50)
+        name = "mini_gn"
+    elif which == 2:
+        ig = parse_g2o(f"{DATA}/slam2D_bearing_only_initial_guess.g2o")
+        gt = parse_g2o(f"{DATA}/slam2D_bearing_only_ground_truth.g2o")
+        cfg = SolverConfig(iters=50)
+        name = "full_gn"
+    else:
+        ig = parse_g2o(f"{DATA}/slam2D_bearing_only_initial_guess.g2o")
+        gt = parse_g2o(f"{DATA}/slam2D_bearing_only_ground_truth.g2o")
+        cfg = SolverConfig(iters=50, optimizer="lm", robust="huber")
+        name = "full_lm_huber"
+
+    graph, meta = build_graph(ig, init="triangulate")
+    best, final = _timed_steps(graph, cfg, cfg.iters)
+    _, stats = solve(graph, cfg)  # chi2 trace (cached compile)
+    chi2 = np.asarray(stats["chi2_robust"])
+    m = ate_metrics(np.asarray(final.poses), match_gt_poses(meta, gt))
+    return {
+        "config": which,
+        "name": name,
+        "n_poses": graph.n_poses,
+        "iters": cfg.iters,
+        "iters_per_s": round(cfg.iters / best, 2),
+        "chi2_initial": float(chi2[0]),
+        "chi2_final": float(chi2[-1]),
+        "ate_rmse": round(m["ate_rmse"], 4),
+        "ate_rmse_aligned": round(m["ate_rmse_aligned"], 4),
+    }
+
+
+def config_4_5(which: int, poses_override=None):
+    import numpy as np
+
+    from boslam.config import SolverConfig
+    from boslam.graph.build import build_graph
+    from boslam.solver.normal_eq import chi2_stats, edge_terms
+    from boslam.synth import generate_sequence
+
+    n = poses_override or (10_000 if which == 4 else 100_000)
+    log(f"generating {n}-pose synthetic sequence...")
+    ig, gt = generate_sequence(n, max(8, n * 2 // 5), seed=0)
+    graph, meta = build_graph(ig, init="triangulate")
+    cfg = SolverConfig(linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4)
+    iters = 5
+    best, final = _timed_steps(graph, cfg, iters, repeats=2)
+    import jax
+
+    fs = jax.jit(lambda x: chi2_stats(edge_terms(x, cfg), cfg))
+    return {
+        "config": which,
+        "name": f"synthetic_{n}_schur_cg",
+        "n_poses": graph.n_poses,
+        "n_landmarks": graph.n_landmarks,
+        "n_edges": graph.n_bearing + graph.n_odometry,
+        "iters_per_s": round(iters / best, 3),
+        "poses_optimized_per_s": round(graph.n_poses * iters / best, 0),
+        "chi2_initial": float(np.asarray(fs(graph)["chi2_robust"])),
+        "chi2_after": float(np.asarray(fs(final)["chi2_robust"])),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
+    ap.add_argument("--poses-override", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    for c in args.configs:
+        t0 = time.time()
+        rec = config_1_2_3(c) if c <= 3 else config_4_5(c, args.poses_override)
+        rec["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
