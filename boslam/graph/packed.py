@@ -1,0 +1,130 @@
+"""Dual-packed (CSR-style) edge layout — the TPU-native large-scale form.
+
+Motivation (measured, PERF.md): TPU gathers/scatter-adds cost ~10-16 ns per
+indexed ROW regardless of width, so the flat edge layout's segment-sums
+dominate large problems.  Packing edges into dense per-vertex grids turns
+every reduction into a plain masked axis-sum (free) and leaves exactly one
+row-gather per side:
+
+- pose-packed:     [NP, K]  slots (K = max bearing edges per pose).  The
+  pose of slot (p, k) is p — a broadcast, not a gather; only the landmark
+  states are gathered.  Pose-keyed sums = sum over axis K.
+- landmark-packed: [NL, K2] slots.  Landmark is broadcast; poses gathered;
+  landmark-keyed sums = sum over axis K2.
+
+Padding slots carry omega = 0 (and self-indices), contributing exactly
+zero — the same trick as the shard padding.  This is SURVEY §7 hard part
+#3 ("variable edges-per-landmark -> padded/bucketed batching") resolved.
+
+Odometry: when the edge list is a pure chain (dst == src + 1 covering
+0..NP-2 — true of the reference data and the generator), the coupling
+matvec is a shift (jnp roll/pad), zero indexed rows; otherwise the general
+flat path handles it (odometry is O(NP) edges, a small fraction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boslam.graph.data import FactorGraph
+
+
+@dataclasses.dataclass
+class PackedEdges:
+    """Bearing edges in both packings + odometry chain classification.
+
+    ``odometry_is_chain`` is a static (meta) field: it selects traced code
+    structure (shift-based coupling vs general scatter path).
+    """
+
+    # pose-packed [NP, K]
+    p_lm: jnp.ndarray  # i32 landmark index per slot (0 for padding)
+    p_meas: jnp.ndarray  # f32 bearing
+    p_omega: jnp.ndarray  # f32 information (0 = padding)
+    # landmark-packed [NL, K2]
+    l_pose: jnp.ndarray  # i32 pose index per slot
+    l_meas: jnp.ndarray
+    l_omega: jnp.ndarray
+    odometry_is_chain: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.p_lm.shape[1]
+
+    @property
+    def K2(self) -> int:
+        return self.l_pose.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    PackedEdges,
+    data_fields=["p_lm", "p_meas", "p_omega", "l_pose", "l_meas", "l_omega"],
+    meta_fields=["odometry_is_chain"],
+)
+
+
+@dataclasses.dataclass
+class PackedMeta:
+    odometry_is_chain: bool
+    fill_pose: float  # fraction of pose-packed slots that are real edges
+    fill_lm: float
+
+
+def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
+    """Host-side packing (numpy; one-time at load)."""
+    b_pose = np.asarray(g.b_pose)
+    b_lm = np.asarray(g.b_lm)
+    b_meas = np.asarray(g.b_meas)
+    b_omega = np.asarray(g.b_omega)
+    NP_, NL = g.n_poses, g.n_landmarks
+    NB = len(b_pose)
+
+    def pack(key_ix, other_ix, n_keys):
+        counts = np.bincount(key_ix, minlength=n_keys)
+        K = max(1, int(counts.max()))
+        slot_other = np.zeros((n_keys, K), np.int32)
+        slot_meas = np.zeros((n_keys, K), np.float32)
+        slot_omega = np.zeros((n_keys, K), np.float32)
+        # vectorized slot assignment: stable-sort by key, then the slot of
+        # an edge is its rank within its segment
+        order = np.argsort(key_ix, kind="stable")
+        sk = key_ix[order]
+        seg_start = np.zeros(n_keys, np.int64)
+        np.cumsum(counts[:-1], out=seg_start[1:])
+        slot = np.arange(NB, dtype=np.int64) - seg_start[sk]
+        slot_other[sk, slot] = other_ix[order]
+        slot_meas[sk, slot] = b_meas[order]
+        slot_omega[sk, slot] = b_omega[order]
+        return slot_other, slot_meas, slot_omega, K
+
+    p_lm, p_meas, p_omega, K = pack(b_pose, b_lm, NP_)
+    l_pose, l_meas, l_omega, K2 = pack(b_lm, b_pose, NL)
+
+    o_src = np.asarray(g.o_src)
+    o_dst = np.asarray(g.o_dst)
+    chain = (
+        len(o_src) == NP_ - 1
+        and np.array_equal(o_src, np.arange(NP_ - 1))
+        and np.array_equal(o_dst, np.arange(1, NP_))
+    )
+
+    packed = PackedEdges(
+        p_lm=jnp.asarray(p_lm),
+        p_meas=jnp.asarray(p_meas),
+        p_omega=jnp.asarray(p_omega),
+        l_pose=jnp.asarray(l_pose),
+        l_meas=jnp.asarray(l_meas),
+        l_omega=jnp.asarray(l_omega),
+        odometry_is_chain=bool(chain),
+    )
+    meta = PackedMeta(
+        odometry_is_chain=bool(chain),
+        fill_pose=NB / max(1, NP_ * K),
+        fill_lm=NB / max(1, NL * K2),
+    )
+    return packed, meta

@@ -132,3 +132,27 @@ def solve_loop(
 def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
     """Single-device entry point: jit of the scan loop."""
     return solve_loop(graph, cfg)
+
+
+def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
+    """GN solve on the dual-packed layout (large-scale path, PERF.md).
+
+    Packs edges host-side once, then scans the packed GN step.  Falls back
+    to the flat solver when odometry is not a pure chain or the optimizer
+    is not plain GN.
+    """
+    from boslam.graph.packed import pack_edges
+    from boslam.solver.schur_packed import packed_gn_step
+
+    pk, meta = pack_edges(graph)
+    if not meta.odometry_is_chain or cfg.optimizer != "gn":
+        return solve(graph, cfg)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def _solve(g, pk, cfg):
+        def body(g, _):
+            return packed_gn_step(g, pk, cfg)
+
+        return jax.lax.scan(body, g, None, length=cfg.iters)
+
+    return _solve(graph, pk, cfg)
