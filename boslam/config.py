@@ -39,6 +39,17 @@ class SolverConfig:
     linear_solver: str = "dense"  # "dense" | "schur" | "schur_cg"
     cg_iters: int = 100
     cg_tol: float = 1e-5
+    # PCG preconditioner for the reduced camera system:
+    # "block_jacobi": exact 3x3 diag(S) blocks (always available).
+    # "btridiag":     block-tridiagonal T = tridiag(diag(S), odometry band)
+    #                 solved by batched cyclic reduction (solver/btridiag.py)
+    #                 — captures the dominant chain coupling; packed path +
+    #                 chain odometry only.
+    # "auto":         btridiag when the packed-chain path is active.
+    preconditioner: str = "auto"  # "auto" | "block_jacobi" | "btridiag"
+    # Warm-start CG from the previous outer iteration's solution (packed
+    # scan loop).  Off by default: keeps per-step parity with the flat path.
+    cg_warm_start: bool = False
 
     # --- normal-equation assembly strategy ---
     # "scatter": index gathers + scatter-adds (general; right at large N).

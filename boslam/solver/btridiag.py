@@ -1,0 +1,154 @@
+"""Block-tridiagonal solve via cyclic reduction — the chain preconditioner.
+
+With pure-chain odometry (the reference data and the synthetic generator)
+the reduced camera system S = Hpp - Hpl Hll^-1 Hlp has a dominant
+block-tridiagonal skeleton: the odometry couplings ``Ho_sd`` are the exact
+(i, i+1) band of Hpp (chain edges are the *only* pose-pose couplings —
+slam/solver.cpp:48-62 semantics) and the odometry information is ~3 orders
+of magnitude stronger than a bearing edge's (omega diag [500,500,5000] vs
+1 in the data).  Block-Jacobi ignores that band entirely, so CG spends its
+iterations resolving long-wavelength chain modes.
+
+This module solves T z = r with T = tridiag(diag(S), Ho_sd) as the PCG
+preconditioner.  T is provably SPD:
+
+    T = Hpp_odo_tridiag (PSD: a sum of per-edge PSD 6x6 contributions)
+        + damping * I
+        + [bearing_diag - schur_correction_diag]
+
+and the bracket is PSD because the full Schur correction C satisfies
+C <= V where V is the (block-diagonal) bearing contribution to Hpp — the
+per-landmark edge system [[V_l, W_l], [W_l^T, Hll_l]] = J^T Omega J >= 0
+gives W_l Hll_l^{-1} W_l^T <= V_l — and taking block diagonals preserves
+the Loewner order against a block-diagonal majorant.
+
+TPU-native design: a sequential block-Thomas sweep would be a 100k-step
+scan of 3x3 ops (worthless on a systolic-array machine).  Block cyclic
+reduction instead runs log2(N) *levels*, each a fully batched set of 3x3
+inverses/matmuls over strided halves — ~2N block ops total in ~2 log2 N
+kernel launches.  The factorization (matrix-only) is computed once per
+outer GN iteration and reused across every CG application.
+
+No counterpart exists in the reference (it factorizes the whole sparse H
+with LDLT each step, slam/solver.cpp:77-85); this is a new scale-out
+component mandated by BASELINE.json configs 4-5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from boslam.solver.schur import _inv3x3
+
+
+def _mm(a, b):
+    return jnp.einsum("nij,njk->nik", a, b)
+
+
+def _mv(a, v):
+    return jnp.einsum("nij,nj->ni", a, v)
+
+
+class BTFactor(NamedTuple):
+    """Cyclic-reduction factorization of a block-tridiagonal matrix.
+
+    ``levels[k] = (alpha, gamma, Binv_e, Ae, Ce)`` holds the elimination
+    coefficients of level k (all ``[M_k/2, 3, 3]``); ``Binv_last`` is the
+    1-block root system; ``n`` the unpadded size.
+    """
+
+    levels: tuple
+    Binv_last: jnp.ndarray
+    n: int
+
+
+def btridiag_factor(diag: jnp.ndarray, upper: jnp.ndarray) -> BTFactor:
+    """Factor T = blocktridiag(lower=upper^T, diag, upper).
+
+    ``diag`` f32[N,3,3] (SPD blocks), ``upper`` f32[N-1,3,3] coupling
+    (i, i+1).  N is static; the level loop unrolls to log2(N) batched
+    stages.  Pads to the next power of two with decoupled identity blocks.
+    """
+    N = diag.shape[0]
+    dtype = diag.dtype
+    M = 1 << max(0, (N - 1).bit_length())
+
+    if M > N:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (M - N, 3, 3))
+        B = jnp.concatenate([diag, eye])
+    else:
+        B = diag
+    pad_c = M - 1 - upper.shape[0]
+    C = jnp.concatenate([upper, jnp.zeros((pad_c, 3, 3), dtype)]) if pad_c else upper
+    # A[i] couples row i to i-1 (= C[i-1]^T, A[0] = 0); Cf[i] to i+1 (Cf[M-1] = 0)
+    z1 = jnp.zeros((1, 3, 3), dtype)
+    A = jnp.concatenate([z1, jnp.swapaxes(C, 1, 2)])
+    Cf = jnp.concatenate([C, z1])
+
+    levels = []
+    while M > 1:
+        Be, Bo = B[0::2], B[1::2]
+        Ae = A[0::2]
+        Ce = Cf[0::2]
+        Ao, Co = A[1::2], Cf[1::2]
+
+        Binv_e = _inv3x3(Be)
+        # odd row i = 2j+1: even neighbors are i-1 -> even j, i+1 -> even j+1
+        Binv_next = jnp.concatenate([Binv_e[1:], z1])
+        Ae_next = jnp.concatenate([Ae[1:], z1])
+        Ce_next = jnp.concatenate([Ce[1:], z1])
+        alpha = _mm(Ao, Binv_e)
+        gamma = _mm(Co, Binv_next)
+        B = Bo - _mm(alpha, Ce) - _mm(gamma, Ae_next)
+        A = -_mm(alpha, Ae)
+        Cf = -_mm(gamma, Ce_next)
+        levels.append((alpha, gamma, Binv_e, Ae, Ce))
+        M //= 2
+
+    return BTFactor(tuple(levels), _inv3x3(B), N)
+
+
+def btridiag_solve(factor: BTFactor, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve T x = rhs given a :func:`btridiag_factor` result.
+
+    ``rhs`` f32[N,3] -> x f32[N,3].  Down-sweep reduces the RHS level by
+    level; up-sweep back-substitutes the eliminated (even) unknowns.  All
+    per-level work is batched; ~2 log2(N) kernel stages per application.
+    """
+    n = factor.n
+    dtype = rhs.dtype
+    M = 1 << max(0, (n - 1).bit_length())
+    f = jnp.concatenate([rhs, jnp.zeros((M - n, 3), dtype)]) if M > n else rhs
+
+    z1 = jnp.zeros((1, 3), dtype)
+    f_evens = []
+    for alpha, gamma, Binv_e, Ae, Ce in factor.levels:
+        fe, fo = f[0::2], f[1::2]
+        fe_next = jnp.concatenate([fe[1:], z1])
+        f_evens.append(fe)
+        f = fo - _mv(alpha, fe) - _mv(gamma, fe_next)
+
+    x = _mv(factor.Binv_last, f)  # [1, 3]
+    for (alpha, gamma, Binv_e, Ae, Ce), fe in zip(
+        reversed(factor.levels), reversed(f_evens)
+    ):
+        # even row 2j: odd neighbors are x_odd[j-1] (zero at j=0) and x_odd[j]
+        x_prev = jnp.concatenate([z1, x[:-1]])
+        x_even = _mv(Binv_e, fe - _mv(Ae, x_prev) - _mv(Ce, x))
+        x = jnp.stack([x_even, x], axis=1).reshape(-1, 3)
+
+    return x[:n]
+
+
+def btridiag_dense(diag: jnp.ndarray, upper: jnp.ndarray) -> jnp.ndarray:
+    """Materialize T as a dense [3N, 3N] matrix (tests only)."""
+    N = diag.shape[0]
+    T = jnp.zeros((3 * N, 3 * N), diag.dtype)
+    i3 = 3 * jnp.arange(N)[:, None] + jnp.arange(3)[None, :]
+    T = T.at[i3[:, :, None], i3[:, None, :]].add(diag)
+    s3, d3 = i3[:-1], i3[1:]
+    T = T.at[s3[:, :, None], d3[:, None, :]].add(upper)
+    T = T.at[d3[:, :, None], s3[:, None, :]].add(jnp.swapaxes(upper, 1, 2))
+    return T

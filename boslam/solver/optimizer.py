@@ -150,9 +150,14 @@ def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, di
 
     @partial(jax.jit, static_argnames=("cfg",))
     def _solve(g, pk, cfg):
-        def body(g, _):
-            return packed_gn_step(g, pk, cfg)
+        dp0 = jnp.zeros((g.n_poses, 3), g.poses.dtype)
 
-        return jax.lax.scan(body, g, None, length=cfg.iters)
+        def body(carry, _):
+            g, dp_prev = carry
+            g, stats, dp = packed_gn_step(g, pk, cfg, dp_prev)
+            return (g, dp), stats
+
+        (final, _), stats = jax.lax.scan(body, (g, dp0), None, length=cfg.iters)
+        return final, stats
 
     return _solve(graph, pk, cfg)

@@ -250,18 +250,28 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det
 
 
-def pcg(matvec, rhs, precond_inv, max_iters: int, tol: float):
+def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     """Preconditioned conjugate gradients over pose-block arrays f32[NP,3].
 
-    Fixed-shape while_loop (XLA-friendly); terminates on relative residual
-    or iteration cap.  Returns (x, n_iters, final_rel_residual2).
+    ``precond`` is either a batched 3x3 block-inverse array (block-Jacobi)
+    or a callable r -> M^{-1} r (e.g. the cyclic-reduction chain solve).
+    ``x0`` warm-starts the iteration (default zeros).  Fixed-shape
+    while_loop (XLA-friendly); terminates on relative residual or iteration
+    cap.  Returns (x, n_iters, final_rel_residual2).
     """
+    if callable(precond):
+        apply_m = precond
+    else:
+        apply_m = lambda r: jnp.einsum("pij,pj->pi", precond, r)
     dot = lambda u, v: jnp.sum(u * v)
-    r0 = rhs
-    z0 = jnp.einsum("pij,pj->pi", precond_inv, r0)
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+    else:
+        r0 = rhs - matvec(x0)
+    z0 = apply_m(r0)
     rz0 = dot(r0, z0)
     b2 = jnp.maximum(dot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
-    x0 = jnp.zeros_like(rhs)
 
     def cond(state):
         _, r, _, _, k, _ = state
@@ -273,7 +283,7 @@ def pcg(matvec, rhs, precond_inv, max_iters: int, tol: float):
         alpha = rz / jnp.maximum(dot(p, Ap), jnp.finfo(rhs.dtype).tiny)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = jnp.einsum("pij,pj->pi", precond_inv, r)
+        z = apply_m(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
         p = z + beta * p

@@ -162,8 +162,39 @@ def packed_s_diag(blocks: PackedBlocks, pk: PackedEdges) -> jnp.ndarray:
     return blocks.Hpp_diag - corr
 
 
-def schur_packed_build_and_solve(g: FactorGraph, pk: PackedEdges, cfg, damping):
-    """Full linear solve on the packed layout; mirrors schur_build_and_solve."""
+def _packed_preconditioner(blocks: PackedBlocks, pk: PackedEdges, cfg, mask):
+    """Build the PCG preconditioner apply-function for the packed system.
+
+    "block_jacobi": exact 3x3 diag(S).  "btridiag"/"auto" (chain only):
+    T = tridiag(diag(S), Ho_sd) factored once by cyclic reduction — SPD
+    (see solver/btridiag.py) and captures the dominant odometry-chain
+    coupling the block-Jacobi ignores.  Gauge fix: the fixed pose's diag
+    block is pinned to identity and its band entries zeroed, matching the
+    masked matvec.
+    """
+    which = cfg.preconditioner
+    if which == "auto":
+        which = "btridiag" if pk.odometry_is_chain else "block_jacobi"
+    d = packed_s_diag(blocks, pk)
+    eye3 = jnp.eye(3, dtype=d.dtype)
+    d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
+    if which == "block_jacobi" or not pk.odometry_is_chain:
+        return _inv3x3(d)
+    from boslam.solver.btridiag import btridiag_factor, btridiag_solve
+
+    band = blocks.Ho_sd * (mask[:-1, :, None] * mask[1:, :, None])
+    factor = btridiag_factor(d, band)
+    return lambda r: btridiag_solve(factor, r)
+
+
+def schur_packed_build_and_solve(
+    g: FactorGraph, pk: PackedEdges, cfg, damping, x0=None
+):
+    """Full linear solve on the packed layout; mirrors schur_build_and_solve.
+
+    ``x0`` optionally warm-starts CG (the previous outer iteration's pose
+    delta — near convergence successive systems barely change).
+    """
     blocks, stats = build_packed_blocks(g, pk, cfg, damping)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
@@ -171,9 +202,11 @@ def schur_packed_build_and_solve(g: FactorGraph, pk: PackedEdges, cfg, damping):
     corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, w0[pk.p_lm])
     rhs = (-blocks.bp + corr) * mask
 
-    precond_inv = _inv3x3(packed_s_diag(blocks, pk))
+    precond = _packed_preconditioner(blocks, pk, cfg, mask)
     matvec = lambda x: packed_s_matvec(blocks, pk, x, mask)
-    dp, n_iters, rel_res2 = pcg(matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol)
+    if x0 is not None:
+        x0 = x0 * mask
+    dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0)
     dp = dp * mask
 
     hlp_dp = jnp.einsum("lkij,lki->lj", blocks.Bl, dp[pk.l_pose])
@@ -182,18 +215,27 @@ def schur_packed_build_and_solve(g: FactorGraph, pk: PackedEdges, cfg, damping):
     ok = jnp.logical_not(jnp.logical_or(jnp.any(jnp.isnan(dp)), jnp.any(jnp.isnan(dl))))
     dp = jnp.where(ok, dp, jnp.zeros_like(dp))
     dl = jnp.where(ok, dl, jnp.zeros_like(dl))
+    stats["cg_iters"] = n_iters
+    stats["cg_rel_res2"] = rel_res2
     return dp, dl, stats, ok
 
 
-def packed_gn_step(g: FactorGraph, pk: PackedEdges, cfg: SolverConfig):
-    """One GN iteration on the packed layout: (g', stats)."""
+def packed_gn_step(
+    g: FactorGraph, pk: PackedEdges, cfg: SolverConfig, dp_prev=None
+):
+    """One GN iteration on the packed layout: (g', stats, dp).
+
+    ``dp_prev`` (when ``cfg.cg_warm_start``) warm-starts the inner CG from
+    the previous outer iteration's pose delta.
+    """
     from boslam.geometry.se2 import boxplus_state
 
-    dp, dl, stats, ok = schur_packed_build_and_solve(g, pk, cfg, cfg.damping)
+    x0 = dp_prev if cfg.cg_warm_start else None
+    dp, dl, stats, ok = schur_packed_build_and_solve(g, pk, cfg, cfg.damping, x0)
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = dict(stats)
     stats["spd_ok"] = ok
     stats["accepted"] = jnp.asarray(True)
     stats["damping"] = jnp.asarray(cfg.damping, g.poses.dtype)
     stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
-    return g.with_state(poses, landmarks), stats
+    return g.with_state(poses, landmarks), stats, dp

@@ -54,7 +54,15 @@ def test_packed_blocks_match_flat(full_ig):
 def test_packed_delta_matches_flat(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     pk, _ = pack_edges(g)
-    cfg = SolverConfig(linear_solver="schur_cg", cg_iters=200, cg_tol=1e-6)
+    # pin block_jacobi: this test checks LAYOUT equivalence, so both paths
+    # must run the same preconditioner (at cond(S)~1e7 in f32, different
+    # preconditioners converge to visibly different small-residual solutions)
+    cfg = SolverConfig(
+        linear_solver="schur_cg",
+        cg_iters=200,
+        cg_tol=1e-6,
+        preconditioner="block_jacobi",
+    )
     dp_f, dl_f, _, ok_f = schur.schur_build_and_solve(g, cfg, cfg.damping, use_cg=True)
     dp_p, dl_p, _, ok_p = schur_packed.schur_packed_build_and_solve(
         g, pk, cfg, cfg.damping
@@ -79,12 +87,70 @@ def test_packed_solve_full_dataset(full_ig):
 def test_packed_solve_synthetic():
     ig, gt = generate_sequence(500, 200, seed=4)
     g, _ = build_graph(ig, init="triangulate")
-    cfg = SolverConfig(linear_solver="schur_cg", iters=10, cg_iters=80)
+    cfg = SolverConfig(
+        linear_solver="schur_cg", iters=10, cg_iters=80, preconditioner="block_jacobi"
+    )
     g_f, s_f = solve(g, cfg)
     g_p, s_p = solve_packed(g, cfg)
     c_f = float(np.asarray(s_f["chi2_robust"])[-1])
     c_p = float(np.asarray(s_p["chi2_robust"])[-1])
     assert abs(c_p - c_f) / c_f < 0.05, (c_p, c_f)
+    # the chain preconditioner must do at least as well per inner budget
+    _, s_b = solve_packed(g, cfg.replace(preconditioner="btridiag"))
+    c_b = float(np.asarray(s_b["chi2_robust"])[-1])
+    assert c_b < c_f * 1.05, (c_b, c_f)
+
+
+def test_btridiag_preconditioner_cuts_cg_iters(full_ig):
+    """The chain preconditioner must reach the CG tolerance in (strictly)
+    fewer iterations than block-Jacobi on the real dataset."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    pk, _ = pack_edges(g)
+    base = SolverConfig(linear_solver="schur_cg", cg_iters=400, cg_tol=1e-5)
+    iters = {}
+    for which in ("block_jacobi", "btridiag"):
+        cfg = base.replace(preconditioner=which)
+        _, _, stats, ok = schur_packed.schur_packed_build_and_solve(
+            g, pk, cfg, cfg.damping
+        )
+        assert bool(ok)
+        iters[which] = int(stats["cg_iters"])
+    assert iters["btridiag"] < iters["block_jacobi"], iters
+
+
+def test_btridiag_preconditioned_solve_same_optimum(full_ig):
+    """Both preconditioners drive the full GN solve to the same optimum.
+
+    (Per-step deltas legitimately differ: at cond(S)~1e7 in f32 any two
+    small-residual CG solutions can point in different directions — the
+    invariant is the optimization result, not the inner iterate.)
+    """
+    g, _ = build_graph(full_ig, init="triangulate")
+    base = SolverConfig(linear_solver="schur_cg", iters=25, cg_iters=150)
+    finals = {}
+    for which in ("block_jacobi", "btridiag"):
+        _, stats = solve_packed(g, base.replace(preconditioner=which))
+        finals[which] = float(np.asarray(stats["chi2_robust"])[-1])
+    a, b = finals["block_jacobi"], finals["btridiag"]
+    assert abs(a - b) / a < 0.02, finals
+    # and its residual met the tolerance
+    assert np.isfinite(b)
+
+
+def test_cg_warm_start_converges(full_ig):
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig(
+        linear_solver="schur_cg", iters=20, cg_iters=100, cg_warm_start=True
+    )
+    g_w, s_w = solve_packed(g, cfg)
+    g_c, s_c = solve_packed(g, cfg.replace(cg_warm_start=False))
+    c_w = float(np.asarray(s_w["chi2_robust"])[-1])
+    c_c = float(np.asarray(s_c["chi2_robust"])[-1])
+    assert abs(c_w - c_c) / c_c < 0.02, (c_w, c_c)
+    # warm start must not use more total inner iterations
+    assert int(np.asarray(s_w["cg_iters"]).sum()) <= int(
+        np.asarray(s_c["cg_iters"]).sum()
+    )
 
 
 def test_packed_fallback_non_chain(mini_ig):

@@ -1,0 +1,80 @@
+"""A/B the chain (btridiag) preconditioner + CG warm start vs block-Jacobi.
+
+Usage: python tools/precond_bench.py [n_poses] [outer_iters]
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import numpy as np
+
+from boslam.config import SolverConfig
+from boslam.graph.build import build_graph
+from boslam.graph.packed import pack_edges
+from boslam.solver.normal_eq import chi2_stats, edge_terms
+from boslam.solver.schur_packed import packed_gn_step
+from boslam.synth import generate_sequence
+
+
+def run(graph, pk, cfg, iters):
+    step = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp), static_argnames=())
+    dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
+    g, dp = graph, dp0
+    g2, s, dp = step(g, dp)
+    jax.block_until_ready(g2.poses)  # compile
+    t0 = time.perf_counter()
+    g, dp = graph, dp0
+    cg_total = 0
+    for _ in range(iters):
+        g, s, dp = step(g, dp)
+        cg_total += int(s["cg_iters"])
+    jax.block_until_ready(g.poses)
+    dt = time.perf_counter() - t0
+    return g, dt, cg_total
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    ig, gt = generate_sequence(n, max(8, n * 2 // 5), seed=0)
+    graph, meta = build_graph(ig, init="triangulate")
+    pk, pmeta = pack_edges(graph)
+    print(
+        f"{graph.n_poses} poses, {graph.n_landmarks} lms, "
+        f"{graph.n_bearing + graph.n_odometry} edges; "
+        f"K={pk.K} K2={pk.K2} fill={pmeta.fill_pose:.2f}/{pmeta.fill_lm:.2f}",
+        file=sys.stderr,
+    )
+    fs = jax.jit(lambda x: chi2_stats(edge_terms(x, SolverConfig()), SolverConfig()))
+
+    variants = {
+        "block_jacobi": SolverConfig(
+            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
+            preconditioner="block_jacobi",
+        ),
+        "btridiag": SolverConfig(
+            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
+            preconditioner="btridiag",
+        ),
+        "btridiag+warm": SolverConfig(
+            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
+            preconditioner="btridiag", cg_warm_start=True,
+        ),
+    }
+    for name, cfg in variants.items():
+        g, dt, cg_total = run(graph, pk, cfg, iters)
+        chi2 = float(np.asarray(fs(g)["chi2_robust"]))
+        print(
+            f"{name:16s}  {dt/iters*1e3:8.1f} ms/outer  cg_iters={cg_total}"
+            f"  chi2_after={chi2:.4f}  poses/s={graph.n_poses*iters/dt:,.0f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
