@@ -113,6 +113,15 @@ def main():
     iters_per_s = ITERS / best
     log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.0f} iters/s")
 
+    # Roofline utilization per chip (BASELINE.json north star).
+    from boslam.utils.roofline import dense_step_model, roofline_report
+
+    flops, bytes_ = dense_step_model(
+        graph.n_poses, graph.n_landmarks, graph.n_bearing, graph.n_odometry
+    )
+    roof = roofline_report(flops, bytes_, best / ITERS)
+    log(f"roofline: {roof}")
+
     baseline = reference_baseline()
     print(
         json.dumps(
@@ -121,6 +130,8 @@ def main():
                 "value": round(iters_per_s, 1),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_s / baseline, 1),
+                "roofline_util": roof["roofline_util"],
+                "roofline": roof,
             }
         )
     )

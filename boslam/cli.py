@@ -36,6 +36,8 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--autodiff-jacobians", action="store_true",
                    help="use jax.jacfwd instead of analytic Jacobians (the reference's numerical-Jacobian verification mode)")
     p.add_argument("--sharded", action="store_true", help="shard edges over all devices")
+    p.add_argument("--packed", action="store_true",
+                   help="dual-packed Schur+PCG layout (the large-scale path)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu/axon)")
 
 
@@ -77,6 +79,26 @@ def cmd_solve(args) -> int:
         file=sys.stderr,
     )
 
+    start_iter, lam0 = 0, None
+    if args.resume:
+        from boslam.io.checkpoint import load_npz
+
+        try:
+            graph, meta, start_iter, lam0 = load_npz(args.resume, graph, meta)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        remaining = max(0, args.iters - start_iter)
+        print(
+            f"resumed from {args.resume} at iteration {start_iter}"
+            + (f" (lm lambda {lam0:g})" if lam0 is not None else "")
+            + f"; {remaining} iterations remain",
+            file=sys.stderr,
+        )
+        cfg = cfg.replace(iters=remaining)
+        if remaining == 0:
+            print("checkpoint already past --iters; nothing to do", file=sys.stderr)
+
     if args.render:
         from boslam.viz.draw import save_render
 
@@ -98,14 +120,22 @@ def cmd_solve(args) -> int:
         jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
-    if args.sharded:
+    if args.sharded and args.packed:
+        from boslam.parallel.sharded_packed import sharded_packed_solve
+
+        g2, stats = jax.block_until_ready(sharded_packed_solve(graph, cfg))
+    elif args.sharded:
         from boslam.parallel.sharded import sharded_solve
 
         g2, stats = jax.block_until_ready(sharded_solve(graph, cfg))
+    elif args.packed:
+        from boslam.solver.optimizer import solve_packed
+
+        g2, stats = jax.block_until_ready(solve_packed(graph, cfg))
     else:
         from boslam.solver.optimizer import solve
 
-        g2, stats = jax.block_until_ready(solve(graph, cfg))
+        g2, stats = jax.block_until_ready(solve(graph, cfg, lam0=lam0))
     wall = time.perf_counter() - t0
 
     if args.profile:
@@ -132,6 +162,12 @@ def cmd_solve(args) -> int:
     if not np.asarray(stats["spd_ok"]).all():
         # the reference's non-SPD warning (slam/solver.cpp:82-84)
         print("warning: non-SPD system encountered in some iterations", file=sys.stderr)
+
+    if args.print_state:
+        # State::print_full_vector equivalent (framework/state.cpp:83-93)
+        from boslam.graph.data import print_full_state
+
+        print_full_state(g2.poses, g2.landmarks)
 
     if args.gt:
         gt = parse_g2o(args.gt)
@@ -170,7 +206,14 @@ def cmd_solve(args) -> int:
     if args.save:
         from boslam.io.checkpoint import save_npz
 
-        save_npz(args.save, g2, meta, iteration=cfg.iters)
+        lam_final = (
+            float(np.asarray(stats["damping"])[-1])
+            if cfg.optimizer == "lm" and cfg.iters > 0
+            else None
+        )
+        save_npz(
+            args.save, g2, meta, iteration=start_iter + cfg.iters, lm_lambda=lam_final
+        )
         print(f"checkpoint written to {args.save}", file=sys.stderr)
     return 0
 
@@ -246,7 +289,9 @@ def cmd_synth(args) -> int:
     from boslam.io.g2o import write_g2o
     from boslam.synth import generate_sequence
 
-    ig, gt = generate_sequence(args.poses, args.landmarks, seed=args.seed)
+    ig, gt = generate_sequence(
+        args.poses, args.landmarks, seed=args.seed, loop_closures=args.loop_closures
+    )
     for parsed, suffix in ((ig, ""), (gt, "_ground_truth")):
         path = args.out.replace(".g2o", f"{suffix}.g2o") if suffix else args.out
         write_g2o(
@@ -308,9 +353,16 @@ def main(argv=None) -> int:
     ps.add_argument("--init", choices=["auto", "triangulate", "file"], default="auto")
     ps.add_argument("--out", default=None, help="write optimized g2o")
     ps.add_argument("--save", default=None, help="write npz checkpoint")
+    ps.add_argument("--resume", default=None,
+                    help="resume from an npz checkpoint: restores the state, "
+                         "the iteration counter (runs the remaining --iters), "
+                         "and the LM damping")
     ps.add_argument("--render", default=None, help="write PNG render(s)")
     ps.add_argument("--profile", default=None, help="write jax profiler trace dir")
     ps.add_argument("--interactive", action="store_true")
+    ps.add_argument("--print-state", action="store_true",
+                    help="dump the packed [3NP|2NL] state vector "
+                         "(State::print_full_vector, framework/state.cpp:83-93)")
     _add_solver_args(ps)
     ps.set_defaults(fn=cmd_solve)
 
@@ -318,6 +370,8 @@ def main(argv=None) -> int:
     pg.add_argument("--poses", type=int, default=10000)
     pg.add_argument("--landmarks", type=int, default=None)
     pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--loop-closures", type=int, default=0,
+                    help="extra non-chain odometry edges between revisited poses")
     pg.add_argument("--out", required=True)
     pg.set_defaults(fn=cmd_synth)
 

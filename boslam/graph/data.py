@@ -134,3 +134,19 @@ def unpack_delta(delta: jnp.ndarray, n_poses: int, n_landmarks: int):
     dp = delta[: 3 * n_poses].reshape(n_poses, 3)
     dl = delta[3 * n_poses :].reshape(n_landmarks, 2)
     return dp, dl
+
+
+def full_state_vector(poses, landmarks) -> np.ndarray:
+    """Packed ``[3*NP | 2*NL]`` state vector (t2v per pose, then landmarks)
+    — the layout of ``State::print_full_vector`` (framework/state.cpp:83-93)."""
+    return pack_delta(np.asarray(poses), np.asarray(landmarks))
+
+
+def print_full_state(poses, landmarks, file=None) -> None:
+    """Debug dump matching ``State::print_full_vector``'s "State: <v>" line
+    (framework/state.cpp:92, "been useful for debugging a bit (on the mini
+    data)")."""
+    import sys
+
+    v = full_state_vector(poses, landmarks)
+    print("State: " + " ".join(f"{x:g}" for x in v), file=file or sys.stdout)

@@ -16,10 +16,14 @@ Padding slots carry omega = 0 (and self-indices), contributing exactly
 zero — the same trick as the shard padding.  This is SURVEY §7 hard part
 #3 ("variable edges-per-landmark -> padded/bucketed batching") resolved.
 
-Odometry: when the edge list is a pure chain (dst == src + 1 covering
-0..NP-2 — true of the reference data and the generator), the coupling
-matvec is a shift (jnp roll/pad), zero indexed rows; otherwise the general
-flat path handles it (odometry is O(NP) edges, a small fraction).
+Odometry: when the leading edges form a chain prefix (edge e has
+src == e, dst == e + 1 — true of the reference data and the generator,
+with any loop closures appended after), the coupling matvec for those
+edges is a shift (jnp pad slices), zero indexed rows; the remaining
+(loop-closure / reordered) edges go through a small gather + segment-sum
+— odometry is O(NP) edges, a small fraction of the bearing work either
+way (reference convention: framework/observation.hpp:43-47 allows
+arbitrary (i, j) pose pairs, which this layout now fully supports).
 """
 
 from __future__ import annotations
@@ -38,8 +42,13 @@ from boslam.graph.data import FactorGraph
 class PackedEdges:
     """Bearing edges in both packings + odometry chain classification.
 
-    ``odometry_is_chain`` is a static (meta) field: it selects traced code
-    structure (shift-based coupling vs general scatter path).
+    ``odometry_is_chain`` / ``chain_len`` are static (meta) fields: they
+    select traced code structure (shift-based coupling vs general
+    gather/scatter path).  ``chain_len`` is the length of the maximal
+    LEADING chain prefix (edges 0..chain_len-1 have src == e, dst == e+1);
+    edges past it (loop closures, arbitrary (i, j) pairs) take the general
+    path.  ``odometry_is_chain`` <=> the prefix is the whole edge list and
+    spans every pose.
     """
 
     # pose-packed [NP, K]
@@ -51,6 +60,7 @@ class PackedEdges:
     l_meas: jnp.ndarray
     l_omega: jnp.ndarray
     odometry_is_chain: bool = dataclasses.field(metadata=dict(static=True))
+    chain_len: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def K(self) -> int:
@@ -64,7 +74,7 @@ class PackedEdges:
 jax.tree_util.register_dataclass(
     PackedEdges,
     data_fields=["p_lm", "p_meas", "p_omega", "l_pose", "l_meas", "l_omega"],
-    meta_fields=["odometry_is_chain"],
+    meta_fields=["odometry_is_chain", "chain_len"],
 )
 
 
@@ -107,11 +117,10 @@ def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
 
     o_src = np.asarray(g.o_src)
     o_dst = np.asarray(g.o_dst)
-    chain = (
-        len(o_src) == NP_ - 1
-        and np.array_equal(o_src, np.arange(NP_ - 1))
-        and np.array_equal(o_dst, np.arange(1, NP_))
-    )
+    # Maximal leading chain prefix: edges 0..c-1 with src == e, dst == e+1.
+    is_chain_edge = (o_src == np.arange(len(o_src))) & (o_dst == o_src + 1)
+    chain_len = int(np.argmin(is_chain_edge)) if not is_chain_edge.all() else len(o_src)
+    chain = chain_len == len(o_src) == NP_ - 1
 
     packed = PackedEdges(
         p_lm=jnp.asarray(p_lm),
@@ -121,6 +130,7 @@ def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
         l_meas=jnp.asarray(l_meas),
         l_omega=jnp.asarray(l_omega),
         odometry_is_chain=bool(chain),
+        chain_len=chain_len,
     )
     meta = PackedMeta(
         odometry_is_chain=bool(chain),

@@ -88,9 +88,11 @@ def gn_build_and_solve(
 ):
     """Assemble, damp (slam/solver.cpp:64-69), gauge-fix, solve.
 
-    Returns (delta_poses, delta_landmarks, terms, spd_ok).  With
-    ``axis_name`` (edge-sharded context), assembly psums the partial H,b
-    and the (small) solve runs replicated on every device.
+    Returns (delta_poses, delta_landmarks, terms, spd_ok, extra) —
+    ``extra`` is always empty for the dense path (signature shared with
+    the Schur paths, which report CG stats there).  With ``axis_name``
+    (edge-sharded context), assembly psums the partial H,b and the (small)
+    solve runs replicated on every device.
     """
     H, b, terms = assemble_dense(g, cfg, axis_name=axis_name)
     N = g.state_dim
@@ -98,12 +100,12 @@ def gn_build_and_solve(
     mask = gauge_mask(N, g.n_poses, g.fixed_pose_ix, H.dtype)
     delta, spd_ok = solve_gauge_fixed(H, b, mask, cfg)
     dp, dl = unpack_delta(delta, g.n_poses, g.n_landmarks)
-    return dp, dl, terms, spd_ok
+    return dp, dl, terms, spd_ok, {}
 
 
 def gn_step_dense(g: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
     """One constant-damping GN iteration (the reference's ``step()``)."""
-    dp, dl, terms, spd_ok = gn_build_and_solve(g, cfg, cfg.damping)
+    dp, dl, terms, spd_ok, _ = gn_build_and_solve(g, cfg, cfg.damping)
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = chi2_stats(terms, cfg)
     stats["spd_ok"] = spd_ok

@@ -39,9 +39,10 @@ def gn_step(
     g: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
 ) -> tuple[FactorGraph, dict]:
     """One constant-damping GN iteration (``Solver::step``, solver.cpp:27-97)."""
-    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, cfg.damping, axis_name)
+    dp, dl, terms, spd_ok, extra = _build_and_solve(g, cfg, cfg.damping, axis_name)
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = chi2_stats(terms, cfg, axis_name)
+    stats.update(extra)
     stats["spd_ok"] = spd_ok
     stats["accepted"] = jnp.asarray(True)
     stats["damping"] = jnp.asarray(cfg.damping, g.poses.dtype)
@@ -67,7 +68,7 @@ def lm_step(
 ) -> tuple[FactorGraph, jnp.ndarray, dict]:
     """One LM trial: solve with damping ``lam``, accept iff the robust cost
     decreases, and scale lam down (accept) / up (reject)."""
-    dp, dl, terms, spd_ok = _build_and_solve(g, cfg, lam, axis_name)
+    dp, dl, terms, spd_ok, extra = _build_and_solve(g, cfg, lam, axis_name)
     cand_poses, cand_landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     cand = g.with_state(cand_poses, cand_landmarks)
 
@@ -88,6 +89,7 @@ def lm_step(
     )
 
     stats = chi2_stats(terms, cfg, axis_name)
+    stats.update(extra)
     stats["spd_ok"] = spd_ok
     stats["accepted"] = accept
     stats["damping"] = lam
@@ -96,7 +98,10 @@ def lm_step(
 
 
 def solve_loop(
-    graph: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
+    graph: FactorGraph,
+    cfg: SolverConfig,
+    axis_name: str | None = None,
+    lam0: jnp.ndarray | None = None,
 ) -> tuple[FactorGraph, dict]:
     """Run ``cfg.iters`` optimizer iterations fully on device.
 
@@ -104,6 +109,7 @@ def solve_loop(
     array with a leading ``iters`` axis).  The per-iteration chi2 trace is
     the observability the reference never computes (SURVEY §5: "chi2 is
     never computed or reported — convergence is judged visually").
+    ``lam0`` overrides the initial LM damping (checkpoint resume).
     """
     if cfg.optimizer == "gn":
 
@@ -121,7 +127,8 @@ def solve_loop(
             g, lam, stats = lm_step(g, lam, cfg, axis_name)
             return (g, lam), stats
 
-        lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
+        if lam0 is None:
+            lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
         (final, _), stats = jax.lax.scan(body, (graph, lam0), None, length=cfg.iters)
         return final, stats
 
@@ -129,23 +136,37 @@ def solve_loop(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def solve(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
-    """Single-device entry point: jit of the scan loop."""
-    return solve_loop(graph, cfg)
+def _solve_jit(graph, cfg, lam0):
+    return solve_loop(graph, cfg, lam0=lam0)
+
+
+def solve(
+    graph: FactorGraph, cfg: SolverConfig, lam0: float | None = None
+) -> tuple[FactorGraph, dict]:
+    """Single-device entry point: jit of the scan loop.
+
+    ``lam0`` restores the LM damping from a checkpoint (iteration-level
+    resume); ignored under the GN optimizer.
+    """
+    lam = jnp.asarray(
+        cfg.lm_lambda0 if lam0 is None else lam0, graph.poses.dtype
+    )
+    return _solve_jit(graph, cfg, lam)
 
 
 def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
     """GN solve on the dual-packed layout (large-scale path, PERF.md).
 
-    Packs edges host-side once, then scans the packed GN step.  Falls back
-    to the flat solver when odometry is not a pure chain or the optimizer
-    is not plain GN.
+    Packs edges host-side once, then scans the packed GN step.  Handles
+    arbitrary odometry topologies (chain prefix via shifts, loop closures
+    via a small segment-sum — framework/observation.hpp:43-47); only the
+    LM optimizer falls back to the flat solver.
     """
     from boslam.graph.packed import pack_edges
     from boslam.solver.schur_packed import packed_gn_step
 
     pk, meta = pack_edges(graph)
-    if not meta.odometry_is_chain or cfg.optimizer != "gn":
+    if cfg.optimizer != "gn":
         return solve(graph, cfg)
 
     @partial(jax.jit, static_argnames=("cfg",))

@@ -343,7 +343,10 @@ def schur_build_and_solve(
 ):
     """Full Schur-complement linear solve; same interface as the dense path.
 
-    Returns (delta_poses f32[NP,3], delta_landmarks f32[NL,2], terms, ok).
+    Returns (delta_poses f32[NP,3], delta_landmarks f32[NL,2], terms, ok,
+    extra) — ``extra`` carries solver-internal stats (cg_iters /
+    cg_rel_res2 on the CG path, empty otherwise) so the flat and packed
+    paths report the same observability.
 
     ``use_cg=False`` (linear_solver="schur"): exact — dense Cholesky of the
     reduced camera system.  ``use_cg=True`` ("schur_cg"): matrix-free PCG,
@@ -355,19 +358,23 @@ def schur_build_and_solve(
         use_cg = cfg.linear_solver == "schur_cg"
     blocks, terms = build_blocks(g, cfg, damping, axis_name=axis_name)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
+    extra = {}
 
     if not use_cg:
-        import jax.scipy.linalg as jsl
-
         if axis_name is not None:
             raise NotImplementedError(
                 "distributed mode uses linear_solver='schur_cg' (or 'dense')"
             )
+        # Same masked-solve helper as the dense path: picks the fused Pallas
+        # Cholesky kernel when the reduced system fits its VMEM budget
+        # (S is 3*NP x 3*NP = 903 x 903 on the reference data), else
+        # jax.scipy.  solve_gauge_fixed solves H d = -b, so negate the rhs.
+        from boslam.solver.gauss_newton import solve_gauge_fixed
+
         S, rhs_flat = dense_reduced_system(blocks, g)
         m = jnp.repeat(mask[:, 0], 3)
-        Sm = m[:, None] * S * m[None, :] + jnp.diag(1.0 - m)
-        chol, lower = jsl.cho_factor(Sm, lower=True)
-        dp = jsl.cho_solve((chol, lower), rhs_flat * m).reshape(g.n_poses, 3)
+        delta, _spd = solve_gauge_fixed(S, -rhs_flat, m, cfg)
+        dp = delta.reshape(g.n_poses, 3)
     else:
         # Reduced RHS: -bp + Hpl Hll^-1 bl, gauge-masked.
         w = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
@@ -382,6 +389,7 @@ def schur_build_and_solve(
         dp, n_iters, rel_res2 = pcg(
             matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol
         )
+        extra = {"cg_iters": n_iters, "cg_rel_res2": rel_res2}
     dp = dp * mask  # exact zero delta on the gauge pose (solver.cpp:87-94)
 
     # Back-substitute landmarks: dl = Hll^-1 (-bl - Hlp dp).
@@ -396,4 +404,4 @@ def schur_build_and_solve(
     )
     dp = jnp.where(ok, dp, jnp.zeros_like(dp))
     dl = jnp.where(ok, dl, jnp.zeros_like(dl))
-    return dp, dl, terms, ok
+    return dp, dl, terms, ok, extra

@@ -4,8 +4,18 @@ Same math as boslam/solver/schur.py (and therefore slam/solver.cpp
 semantics, robust quirk included), but every vertex-keyed reduction is a
 dense masked axis-sum over the packed slot dimension and the only indexed
 ops are two row-gathers per CG matvec (see boslam/graph/packed.py).  For
-pure-chain odometry the pose-pose couplings are shifts (jnp.pad slices) —
-zero indexed rows.
+the chain-prefix part of the odometry the pose-pose couplings are shifts
+(jnp.pad slices) — zero indexed rows; loop-closure edges past the prefix
+(framework/observation.hpp:43-47 allows arbitrary pose pairs) go through a
+small gather + segment-sum.
+
+Distributed (BASELINE.json configs 4-5): with ``axis_name`` set the slot
+grids are sharded along their slot axes (K / K2) and odometry along its
+edge axis; state and the reduced system stay replicated.  Assembly
+completes the per-vertex partial sums with one fused psum; each CG matvec
+needs exactly two psums (z before the Hll^-1 back-coupling, then the
+y-partials) riding ICI — the reduced-camera-system all-reduce of
+BASELINE.json config 5.  See boslam/parallel/sharded_packed.py.
 
 Verified equivalent to the flat schur path in tests/test_schur_packed.py.
 """
@@ -26,13 +36,15 @@ from boslam.solver.schur import _inv2x2, _inv3x3, _pose_mask, pcg
 
 
 class PackedBlocks(NamedTuple):
-    Hpp_diag: jnp.ndarray  # [NP, 3, 3]
-    Hll_inv: jnp.ndarray  # [NL, 2, 2]
-    Bp: jnp.ndarray  # [NP, K, 3, 2] pose-packed coupling blocks (weighted)
-    Bl: jnp.ndarray  # [NL, K2, 3, 2] landmark-packed coupling blocks
+    Hpp_diag: jnp.ndarray  # [NP, 3, 3] (replicated after psum)
+    Hll_inv: jnp.ndarray  # [NL, 2, 2] (replicated after psum)
+    Bp: jnp.ndarray  # [NP, K, 3, 2] pose-packed coupling blocks (local slots)
+    Bl: jnp.ndarray  # [NL, K2, 3, 2] landmark-packed coupling blocks (local)
     bp: jnp.ndarray  # [NP, 3]
     bl: jnp.ndarray  # [NL, 2]
-    Ho_sd: jnp.ndarray  # [NO, 3, 3] odometry couplings (chain: NO = NP-1)
+    Ho_sd: jnp.ndarray  # [NO, 3, 3] odometry couplings (local shard)
+    o_src: jnp.ndarray  # i32[NO] odometry endpoints (local shard, global ids)
+    o_dst: jnp.ndarray  # i32[NO]
 
 
 def _bearing_slot_terms(p_slot, l_slot, meas, omega, cfg):
@@ -54,14 +66,18 @@ def _bearing_slot_terms(p_slot, l_slot, meas, omega, cfg):
 
 
 def build_packed_blocks(
-    g: FactorGraph, pk: PackedEdges, cfg: SolverConfig, damping
+    g: FactorGraph,
+    pk: PackedEdges,
+    cfg: SolverConfig,
+    damping,
+    axis_name: str | None = None,
 ) -> tuple[PackedBlocks, dict]:
     NP_, NL = g.n_poses, g.n_landmarks
     dtype = g.poses.dtype
     damping = jnp.asarray(damping, dtype)
 
     # ---- pose-packed pass: pose broadcast, landmarks gathered ----
-    p_slot = jnp.broadcast_to(g.poses[:, None, :], (NP_, pk.K, 3))
+    p_slot = jnp.broadcast_to(g.poses[:, None, :], (NP_, pk.p_lm.shape[1], 3))
     l_slot = g.landmarks[pk.p_lm]  # gather (NP*K rows)
     (be_p, bchi2_p, Hpp_b, _Hll_p, Bp, bp_b, _bl_p) = _bearing_slot_terms(
         p_slot, l_slot, pk.p_meas, pk.p_omega, cfg
@@ -70,7 +86,7 @@ def build_packed_blocks(
     bp = jnp.sum(bp_b, axis=1)
 
     # ---- landmark-packed pass: landmark broadcast, poses gathered ----
-    l_slot2 = jnp.broadcast_to(g.landmarks[:, None, :], (NL, pk.K2, 2))
+    l_slot2 = jnp.broadcast_to(g.landmarks[:, None, :], (NL, pk.l_pose.shape[1], 2))
     p_slot2 = g.poses[pk.l_pose]  # gather (NL*K2 rows)
     (_be_l, _bchi2_l, _Hpp_l, Hll_b, Bl, _bp_l, bl_b) = _bearing_slot_terms(
         p_slot2, l_slot2, pk.l_meas, pk.l_omega, cfg
@@ -93,18 +109,25 @@ def build_packed_blocks(
     bp_s = jnp.einsum("eij,ei->ej", ojs, e_w)
     bp_d = jnp.einsum("eij,ei->ej", ojd, e_w)
 
-    if pk.odometry_is_chain:
-        # src = 0..NP-2, dst = 1..NP-1: pure pads, no indexed ops
-        Hpp_diag = Hpp_diag + jnp.pad(H_ss, ((0, 1), (0, 0), (0, 0)))
-        Hpp_diag = Hpp_diag + jnp.pad(H_dd, ((1, 0), (0, 0), (0, 0)))
-        bp = bp + jnp.pad(bp_s, ((0, 1), (0, 0))) + jnp.pad(bp_d, ((1, 0), (0, 0)))
-    else:
-        idx = jnp.concatenate([g.o_src, g.o_dst])
-        NO = oe.shape[0]
+    # Shifts for the leading chain prefix (src == e, dst == e+1 — the
+    # dominant structure of SLAM graphs); gather/segment-sum only for the
+    # loop-closure suffix.  Under edge sharding the local shard's position
+    # within the global chain is unknown, so everything takes the general
+    # path (odometry is O(NP) edges — a small fraction of the slot work).
+    nc = pk.chain_len if axis_name is None else 0
+    NO = oe.shape[0]
+    if nc > 0:
+        Hpp_diag = Hpp_diag + jnp.pad(H_ss[:nc], ((0, NP_ - nc), (0, 0), (0, 0)))
+        Hpp_diag = Hpp_diag + jnp.pad(H_dd[:nc], ((1, NP_ - nc - 1), (0, 0), (0, 0)))
+        bp = bp + jnp.pad(bp_s[:nc], ((0, NP_ - nc), (0, 0)))
+        bp = bp + jnp.pad(bp_d[:nc], ((1, NP_ - nc - 1), (0, 0)))
+    if nc < NO:
+        idx = jnp.concatenate([g.o_src[nc:], g.o_dst[nc:]])
+        rest = NO - nc
         payload = jnp.concatenate(
             [
-                jnp.concatenate([H_ss.reshape(NO, 9), bp_s], axis=1),
-                jnp.concatenate([H_dd.reshape(NO, 9), bp_d], axis=1),
+                jnp.concatenate([H_ss[nc:].reshape(rest, 9), bp_s[nc:]], axis=1),
+                jnp.concatenate([H_dd[nc:].reshape(rest, 9), bp_d[nc:]], axis=1),
             ],
             axis=0,
         )
@@ -112,104 +135,192 @@ def build_packed_blocks(
         Hpp_diag = Hpp_diag + sums[:, :9].reshape(NP_, 3, 3)
         bp = bp + sums[:, 9:12]
 
+    stats = {
+        "chi2_bearing": jnp.sum(bchi2_p),
+        "chi2_odometry": jnp.sum(ochi2),
+        "chi2_robust": jnp.sum(robust_cost(bchi2_p, cfg) * (pk.p_omega > 0))
+        + jnp.sum(robust_cost(ochi2, cfg) * (ochi2 > 0)),
+        "n_bearing_clamped": jnp.sum(bchi2_p > cfg.kernel_threshold),
+        "n_odometry_clamped": jnp.sum(ochi2 > cfg.kernel_threshold),
+    }
+
+    # Complete the cross-shard reductions before damping/inversion.
+    if axis_name is not None:
+        Hpp_diag, Hll, bp, bl, stats = jax.lax.psum(
+            (Hpp_diag, Hll, bp, bl, stats), axis_name
+        )
+
     eye3 = jnp.eye(3, dtype=dtype)
     eye2 = jnp.eye(2, dtype=dtype)
     Hpp_diag = Hpp_diag + damping * eye3
     Hll_inv = _inv2x2(Hll + damping * eye2)
 
-    stats = {
-        "chi2_bearing": jnp.sum(bchi2_p),
-        "chi2_odometry": jnp.sum(ochi2),
-        "chi2_robust": jnp.sum(robust_cost(bchi2_p, cfg) * (pk.p_omega > 0))
-        + jnp.sum(robust_cost(ochi2, cfg)),
-        "n_bearing_clamped": jnp.sum(bchi2_p > cfg.kernel_threshold),
-        "n_odometry_clamped": jnp.sum(ochi2 > cfg.kernel_threshold),
-    }
-    return PackedBlocks(Hpp_diag, Hll_inv, Bp, Bl, bp, bl, H_sd), stats
+    blocks = PackedBlocks(
+        Hpp_diag, Hll_inv, Bp, Bl, bp, bl, H_sd, g.o_src, g.o_dst
+    )
+    return blocks, stats
 
 
-def packed_s_matvec(blocks: PackedBlocks, pk: PackedEdges, x, mask):
-    """y = S_masked @ x with two row-gathers and zero scatters."""
-    xm = x * mask
-    y = jnp.einsum("pij,pj->pi", blocks.Hpp_diag, xm)
+def _odometry_coupling(blocks: PackedBlocks, pk: PackedEdges, xm, NP_: int,
+                       axis_name: str | None):
+    """y += (Ho_sd + Ho_sd^T cross terms) @ x for all odometry edges.
 
-    if pk.odometry_is_chain:
-        y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd, xm[1:])
-        y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd, xm[:-1])
-        y = y + jnp.pad(y_sd, ((0, 1), (0, 0))) + jnp.pad(y_ds, ((1, 0), (0, 0)))
-    else:
-        # general odometry couplings (small NO): flat scatter path
-        raise NotImplementedError(
-            "packed matvec requires chain odometry; use linear_solver='schur_cg'"
+    Chain-prefix edges are shifts; the rest (and everything under
+    sharding) is one fused gather + segment-sum keyed by global pose ids.
+    Returns a LOCAL partial when ``axis_name`` is set (caller psums).
+    """
+    nc = pk.chain_len if axis_name is None else 0
+    NO = blocks.Ho_sd.shape[0]
+    y = jnp.zeros((NP_, 3), xm.dtype)
+    if nc > 0:
+        y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd[:nc], xm[1 : nc + 1])
+        y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd[:nc], xm[:nc])
+        y = y + jnp.pad(y_sd, ((0, NP_ - nc), (0, 0)))
+        y = y + jnp.pad(y_ds, ((1, NP_ - nc - 1), (0, 0)))
+    if nc < NO:
+        src, dst = blocks.o_src[nc:], blocks.o_dst[nc:]
+        Ho = blocks.Ho_sd[nc:]
+        x_ends = xm[jnp.concatenate([dst, src])]
+        m = NO - nc
+        y_sd = jnp.einsum("eij,ej->ei", Ho, x_ends[:m])
+        y_ds = jnp.einsum("eji,ej->ei", Ho, x_ends[m:])
+        y = y + jax.ops.segment_sum(
+            jnp.concatenate([y_sd, y_ds]),
+            jnp.concatenate([src, dst]),
+            num_segments=NP_,
         )
+    return y
 
-    # z = Hlp @ x  (landmark-packed: gather x by slot pose, sum slots)
+
+def packed_s_matvec(
+    blocks: PackedBlocks,
+    pk: PackedEdges,
+    x,
+    mask,
+    axis_name: str | None = None,
+):
+    """y = S_masked @ x with two row-gathers and zero scatters (chain case).
+
+    Distributed: exactly two psums — ``z`` (needed before the Hll^-1
+    back-coupling) and the fused (odometry + correction) y-partials.
+    """
+    xm = x * mask
+    NP_ = x.shape[0]
+
+    # z = Hlp @ x  (landmark-packed: gather x by slot pose, sum local slots)
     xg = xm[pk.l_pose]  # [NL, K2, 3]
     z = jnp.einsum("lkij,lki->lj", blocks.Bl, xg)
+    if axis_name is not None:
+        z = jax.lax.psum(z, axis_name)
     w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)
 
-    # y -= Hpl @ w  (pose-packed: gather w by slot landmark, sum slots)
+    # y_corr = Hpl @ w  (pose-packed: gather w by slot landmark, sum slots)
     wg = w[pk.p_lm]  # [NP, K, 2]
-    y = y - jnp.einsum("pkij,pkj->pi", blocks.Bp, wg)
+    y_corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, wg)
+    y_odo = _odometry_coupling(blocks, pk, xm, NP_, axis_name)
+    y_partial = y_odo - y_corr
+    if axis_name is not None:
+        y_partial = jax.lax.psum(y_partial, axis_name)
 
+    y = jnp.einsum("pij,pj->pi", blocks.Hpp_diag, xm) + y_partial
     return y * mask + x * (1.0 - mask)
 
 
-def packed_s_diag(blocks: PackedBlocks, pk: PackedEdges) -> jnp.ndarray:
+def packed_s_diag(
+    blocks: PackedBlocks, pk: PackedEdges, axis_name: str | None = None
+) -> jnp.ndarray:
     """Exact diag(S): Hpp_ii - sum_k B Hll_inv[lm] B^T over the pose slots."""
     Hinv_g = blocks.Hll_inv[pk.p_lm]  # [NP, K, 2, 2] gather
     corr = jnp.einsum("pkij,pkjl,pkml->pim", blocks.Bp, Hinv_g, blocks.Bp)
+    if axis_name is not None:
+        corr = jax.lax.psum(corr, axis_name)
     return blocks.Hpp_diag - corr
 
 
-def _packed_preconditioner(blocks: PackedBlocks, pk: PackedEdges, cfg, mask):
+def _chain_band(blocks: PackedBlocks, pk: PackedEdges, NP_: int,
+                axis_name: str | None):
+    """f32[NP-1, 3, 3] odometry-chain band for the tridiagonal preconditioner.
+
+    Single device: the chain-prefix couplings directly (zero indexed rows),
+    padded past the prefix.  Sharded: the local consecutive-pair couplings
+    scattered by src and psum-completed (exactly the same band).  Edges
+    that are not consecutive pose pairs are excluded — they only affect
+    preconditioner quality, never correctness.
+    """
+    if axis_name is None:
+        nc = pk.chain_len
+        return jnp.pad(blocks.Ho_sd[:nc], ((0, NP_ - 1 - nc), (0, 0), (0, 0)))
+    is_band = (blocks.o_dst == blocks.o_src + 1)[:, None, None]
+    band = jax.ops.segment_sum(
+        blocks.Ho_sd * is_band.astype(blocks.Ho_sd.dtype),
+        blocks.o_src,
+        num_segments=NP_ - 1,
+    )
+    return jax.lax.psum(band, axis_name)
+
+
+def _packed_preconditioner(
+    blocks: PackedBlocks, pk: PackedEdges, cfg, mask, axis_name: str | None = None
+):
     """Build the PCG preconditioner apply-function for the packed system.
 
-    "block_jacobi": exact 3x3 diag(S).  "btridiag"/"auto" (chain only):
-    T = tridiag(diag(S), Ho_sd) factored once by cyclic reduction — SPD
-    (see solver/btridiag.py) and captures the dominant odometry-chain
-    coupling the block-Jacobi ignores.  Gauge fix: the fixed pose's diag
-    block is pinned to identity and its band entries zeroed, matching the
-    masked matvec.
+    "block_jacobi": exact 3x3 diag(S).  "btridiag"/"auto" (graphs with an
+    odometry chain): T = tridiag(diag(S), chain band) factored once by
+    cyclic reduction — SPD (see solver/btridiag.py) and captures the
+    dominant odometry-chain coupling the block-Jacobi ignores.  Gauge fix:
+    the fixed pose's diag block is pinned to identity and its band entries
+    zeroed, matching the masked matvec.
     """
+    NP_ = blocks.Hpp_diag.shape[0]
+    has_chain = pk.chain_len > 0 and NP_ > 1
     which = cfg.preconditioner
     if which == "auto":
-        which = "btridiag" if pk.odometry_is_chain else "block_jacobi"
-    d = packed_s_diag(blocks, pk)
+        which = "btridiag" if has_chain else "block_jacobi"
+    d = packed_s_diag(blocks, pk, axis_name)
     eye3 = jnp.eye(3, dtype=d.dtype)
     d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
-    if which == "block_jacobi" or not pk.odometry_is_chain:
+    if which == "block_jacobi" or not has_chain:
         return _inv3x3(d)
     from boslam.solver.btridiag import btridiag_factor, btridiag_solve
 
-    band = blocks.Ho_sd * (mask[:-1, :, None] * mask[1:, :, None])
+    band = _chain_band(blocks, pk, NP_, axis_name)
+    band = band * (mask[:-1, :, None] * mask[1:, :, None])
     factor = btridiag_factor(d, band)
     return lambda r: btridiag_solve(factor, r)
 
 
 def schur_packed_build_and_solve(
-    g: FactorGraph, pk: PackedEdges, cfg, damping, x0=None
+    g: FactorGraph,
+    pk: PackedEdges,
+    cfg,
+    damping,
+    x0=None,
+    axis_name: str | None = None,
 ):
     """Full linear solve on the packed layout; mirrors schur_build_and_solve.
 
     ``x0`` optionally warm-starts CG (the previous outer iteration's pose
     delta — near convergence successive systems barely change).
     """
-    blocks, stats = build_packed_blocks(g, pk, cfg, damping)
+    blocks, stats = build_packed_blocks(g, pk, cfg, damping, axis_name)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
     w0 = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
     corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, w0[pk.p_lm])
+    if axis_name is not None:
+        corr = jax.lax.psum(corr, axis_name)
     rhs = (-blocks.bp + corr) * mask
 
-    precond = _packed_preconditioner(blocks, pk, cfg, mask)
-    matvec = lambda x: packed_s_matvec(blocks, pk, x, mask)
+    precond = _packed_preconditioner(blocks, pk, cfg, mask, axis_name)
+    matvec = lambda x: packed_s_matvec(blocks, pk, x, mask, axis_name)
     if x0 is not None:
         x0 = x0 * mask
     dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0)
     dp = dp * mask
 
     hlp_dp = jnp.einsum("lkij,lki->lj", blocks.Bl, dp[pk.l_pose])
+    if axis_name is not None:
+        hlp_dp = jax.lax.psum(hlp_dp, axis_name)
     dl = jnp.einsum("lij,lj->li", blocks.Hll_inv, -blocks.bl - hlp_dp)
 
     ok = jnp.logical_not(jnp.logical_or(jnp.any(jnp.isnan(dp)), jnp.any(jnp.isnan(dl))))
@@ -221,7 +332,11 @@ def schur_packed_build_and_solve(
 
 
 def packed_gn_step(
-    g: FactorGraph, pk: PackedEdges, cfg: SolverConfig, dp_prev=None
+    g: FactorGraph,
+    pk: PackedEdges,
+    cfg: SolverConfig,
+    dp_prev=None,
+    axis_name: str | None = None,
 ):
     """One GN iteration on the packed layout: (g', stats, dp).
 
@@ -231,7 +346,9 @@ def packed_gn_step(
     from boslam.geometry.se2 import boxplus_state
 
     x0 = dp_prev if cfg.cg_warm_start else None
-    dp, dl, stats, ok = schur_packed_build_and_solve(g, pk, cfg, cfg.damping, x0)
+    dp, dl, stats, ok = schur_packed_build_and_solve(
+        g, pk, cfg, cfg.damping, x0, axis_name
+    )
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = dict(stats)
     stats["spd_ok"] = ok

@@ -30,6 +30,8 @@ def generate_sequence(
     odom_noise: tuple[float, float] = (0.02, 0.005),
     bearing_noise: float = 0.01,
     init_noise: tuple[float, float] = (0.05, 0.01),
+    loop_closures: int = 0,
+    loop_closure_min_sep: int = 40,
 ) -> tuple[ParsedG2O, ParsedG2O]:
     """Returns (initial_guess, ground_truth) ParsedG2O pairs.
 
@@ -38,6 +40,11 @@ def generate_sequence(
     same edge set — verified byte-identical).  The initial guess carries
     odometry-integrated noisy poses and no landmarks.  Set all noises to 0
     for an exact noiseless fixture.
+
+    ``loop_closures``: number of extra non-chain odometry edges between
+    spatially-near, temporally-distant pose pairs (the general (i, j)
+    topology of framework/observation.hpp:43-47), appended after the chain
+    edges so the packed solver keeps its chain-prefix fast path.
     """
     rng = np.random.default_rng(seed)
     if n_landmarks is None:
@@ -94,9 +101,40 @@ def generate_sequence(
         o_meas[e, 1] = -sn * dt[0] + c * dt[1] + rng.normal(0, odom_noise[0])
         dth = (d[2] - s[2] + np.pi) % (2 * np.pi) - np.pi
         o_meas[e, 2] = dth + rng.normal(0, odom_noise[1])
+    # --- loop closures: near-revisit pose pairs, appended after the chain ---
+    if loop_closures > 0 and n_poses > loop_closure_min_sep:
+        lc_src, lc_dst, lc_meas = [], [], []
+        seen_pairs = set()
+        tries = 0
+        while len(lc_src) < loop_closures and tries < 50 * loop_closures:
+            tries += 1
+            i = int(rng.integers(0, n_poses - loop_closure_min_sep))
+            # spatially-nearest later pose outside the separation window
+            # (the measurement comes from the ground truth, so the edge is
+            # consistent whatever the revisit distance)
+            cand = np.arange(i + loop_closure_min_sep, n_poses)
+            d2 = ((xyt[cand, :2] - xyt[i, :2]) ** 2).sum(1)
+            j = int(cand[np.argmin(d2)])
+            if (i, j) in seen_pairs:
+                continue
+            seen_pairs.add((i, j))
+            s, d = xyt[i], xyt[j]
+            c, sn = np.cos(s[2]), np.sin(s[2])
+            dt = d[:2] - s[:2]
+            mx = c * dt[0] + sn * dt[1] + rng.normal(0, odom_noise[0])
+            my = -sn * dt[0] + c * dt[1] + rng.normal(0, odom_noise[0])
+            dth = (d[2] - s[2] + np.pi) % (2 * np.pi) - np.pi
+            lc_src.append(i)
+            lc_dst.append(j)
+            lc_meas.append((mx, my, dth + rng.normal(0, odom_noise[1])))
+        if lc_src:
+            o_src = np.concatenate([o_src, np.asarray(lc_src)])
+            o_dst = np.concatenate([o_dst, np.asarray(lc_dst)])
+            o_meas = np.concatenate([o_meas, np.asarray(lc_meas, np.float64)])
+
     omega = np.broadcast_to(
         np.diag([500.0, 500.0, 5000.0]).astype(np.float32),
-        (n_poses - 1, 3, 3),
+        (len(o_src), 3, 3),
     ).copy()
 
     # --- initial guess: integrate the noisy odometry (+ extra jitter) ---

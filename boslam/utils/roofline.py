@@ -1,0 +1,123 @@
+"""Roofline accounting for the BA kernels (BASELINE.json north star:
+"report BA-kernel roofline utilization per chip").
+
+The models count the algorithmic FLOPs and the unavoidable HBM traffic of
+one step of each solver path; dividing by measured step time gives achieved
+FLOP/s and bytes/s, compared against the chip's peak MXU rate and HBM
+bandwidth.  ``roofline_util`` is utilization of the BINDING resource
+(max of the two ratios) — the standard roofline reading.  When both are
+tiny the step is latency-bound (many small kernels / per-row indexed ops),
+which is itself the actionable diagnosis (see PERF.md).
+
+Chip peaks are public figures; unknown chips fall back to v5e and say so.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+
+class ChipSpec(NamedTuple):
+    name: str
+    peak_flops_bf16: float  # MXU peak, bf16 multiply / f32 accumulate
+    peak_flops_f32: float  # ~bf16/6 (f32 emulated by 6-pass decomposition)
+    hbm_bytes_per_s: float
+
+
+_CHIPS = {
+    # device_kind substring -> spec (public figures per chip)
+    "v5 lite": ChipSpec("TPU v5e", 197e12, 197e12 / 6, 819e9),
+    "v5e": ChipSpec("TPU v5e", 197e12, 197e12 / 6, 819e9),
+    "v5p": ChipSpec("TPU v5p", 459e12, 459e12 / 6, 2765e9),
+    "v4": ChipSpec("TPU v4", 275e12, 275e12 / 6, 1228e9),
+    "v6": ChipSpec("TPU v6e", 918e12, 918e12 / 6, 1640e9),
+}
+
+
+def chip_spec(device_kind: str | None = None) -> ChipSpec:
+    if device_kind is None:
+        import jax
+
+        device_kind = jax.devices()[0].device_kind
+    dk = device_kind.lower()
+    for key, spec in _CHIPS.items():
+        if key in dk:
+            return spec
+    return ChipSpec(f"unknown ({device_kind}); assuming v5e", 197e12, 197e12 / 6, 819e9)
+
+
+def dense_step_model(NP: int, NL: int, NB: int, NO: int) -> tuple[float, float]:
+    """(flops, hbm_bytes) of one dense-path GN step with matmul assembly.
+
+    Dominated by H = A^T W A (A is [NB, N] / [3*NO, 3*NP]) and the N^3/3
+    Cholesky (gauss_newton.solve_gauge_fixed).
+    """
+    N = 3 * NP + 2 * NL
+    edge_math = NB * 120 + NO * 700  # residuals + jacobian blocks + trig
+    ata = 2.0 * NB * N * N + 2.0 * (3 * NO) * (3 * NP) ** 2
+    chol = N**3 / 3 + 4.0 * N * N  # factor + two triangular solves
+    flops = edge_math + ata + chol
+
+    f4 = 4.0
+    a_traffic = 2 * NB * N * f4 + 2 * (3 * NO) * (3 * NP) * f4  # write + read A
+    onehots = (NB * (NP + NL) + 2 * NO * NP) * f4
+    h_traffic = 3 * N * N * f4  # write H, read for Cholesky, write factor
+    bytes_ = a_traffic + onehots + h_traffic
+    return flops, bytes_
+
+
+def packed_outer_model(
+    NP: int, NL: int, K: int, K2: int, NO: int, cg_iters: int
+) -> tuple[float, float]:
+    """(flops, hbm_bytes) of one packed Schur+PCG outer iteration.
+
+    Build: per-slot residual/Jacobian/outer-product math over both slot
+    grids.  Per CG iteration: the two coupling einsums over the [NP,K] /
+    [NL,K2] block grids dominate both FLOPs and traffic (the B blocks are
+    re-read every matvec).
+    """
+    slots = NP * K + NL * K2
+    build = slots * 110.0 + NO * 700.0 + NL * 30.0  # + 2x2 inversions
+    matvec = (
+        12.0 * NP * K  # Bp einsum [3x2 block x vec, mul+add]
+        + 12.0 * NL * K2  # Bl einsum
+        + 8.0 * NL  # Hll_inv apply
+        + 18.0 * NP  # Hpp_diag apply
+        + 36.0 * NO  # odometry couplings
+        + 70.0 * NP  # preconditioner apply + CG vector ops
+    )
+    flops = build + cg_iters * matvec
+
+    f4 = 4.0
+    b_blocks = (6.0 * NP * K + 6.0 * NL * K2) * f4  # Bp + Bl re-read
+    gathers = (3.0 * NL * K2 + 2.0 * NP * K) * f4  # xg / wg rows
+    vectors = (9.0 * NP + 4.0 * NL + 8.0 * NP) * f4
+    bytes_ = slots * 16.0 * f4 + cg_iters * (b_blocks + gathers + vectors)
+    return flops, bytes_
+
+
+def roofline_report(
+    flops: float, bytes_: float, time_s: float, spec: ChipSpec | None = None
+) -> dict:
+    """Achieved rates vs chip peaks; utilization of the binding resource."""
+    if spec is None:
+        spec = chip_spec()
+    fps = flops / time_s
+    bps = bytes_ / time_s
+    flops_util = fps / spec.peak_flops_f32
+    bw_util = bps / spec.hbm_bytes_per_s
+    util = max(flops_util, bw_util)
+    return {
+        "chip": spec.name,
+        "achieved_gflops": round(fps / 1e9, 2),
+        "achieved_gbps": round(bps / 1e9, 2),
+        "flops_util_f32": round(flops_util, 4),
+        "flops_util_bf16_peak": round(fps / spec.peak_flops_bf16, 4),
+        "hbm_bw_util": round(bw_util, 4),
+        "roofline_util": round(util, 4),
+        "bound": (
+            "latency"
+            if util < 0.05
+            else ("compute" if flops_util >= bw_util else "bandwidth")
+        ),
+    }

@@ -36,9 +36,19 @@ def render_state(
     odometries: Optional[tuple] = None,  # (src_ix, meas[NO,3])
     iteration: Optional[int] = None,
     max_iterations: int = 50,
+    draw_only_pose: Optional[int] = None,
+    draw_only_lm: Optional[int] = None,
     ax=None,
 ):
-    """Draw the scene onto a matplotlib axes (created if None); returns ax."""
+    """Draw the scene onto a matplotlib axes (created if None); returns ax.
+
+    ``draw_only_pose`` / ``draw_only_lm`` are the reference's aggressive
+    debug filters (``DRAW_ONLY_POSE/LM``, framework/definitions.hpp:10-11;
+    applied in draw_utils.cpp:174-196): when given (>= 0 there, not-None
+    here) only the bearing/odometry overlays touching that pose/landmark
+    INDEX are drawn — poses and landmarks themselves stay visible, exactly
+    as in the reference (the filters guard only the observation loops).
+    """
     import matplotlib
 
     matplotlib.use("Agg", force=False)
@@ -61,7 +71,14 @@ def render_state(
     # bearing rays (green, fixed length, from the observing pose at
     # world angle theta + alpha — draw_utils.cpp:103-128)
     if bearings is not None:
-        b_pose, b_meas = bearings
+        b_pose, b_meas = bearings[0], bearings[1]
+        b_lm = bearings[2] if len(bearings) > 2 else None
+        keep = np.ones(len(np.asarray(b_pose)), bool)
+        if draw_only_pose is not None:
+            keep &= np.asarray(b_pose) == draw_only_pose
+        if draw_only_lm is not None and b_lm is not None:
+            keep &= np.asarray(b_lm) == draw_only_lm
+        b_pose, b_meas = np.asarray(b_pose)[keep], np.asarray(b_meas)[keep]
         p = poses[np.asarray(b_pose)]
         ang = p[:, 2] + np.asarray(b_meas)
         for (x, y), a in zip(p[:, :2], ang):
@@ -78,6 +95,10 @@ def render_state(
     # destination under the source-frame convention (draw_utils.cpp:130-156)
     if odometries is not None:
         o_src, o_meas = odometries
+        o_src, o_meas = np.asarray(o_src), np.asarray(o_meas)
+        if draw_only_pose is not None:
+            keep = o_src == draw_only_pose  # source-id filter (:186-189)
+            o_src, o_meas = o_src[keep], o_meas[keep]
         s = poses[np.asarray(o_src)]
         o_meas = np.asarray(o_meas)
         c, sn = np.cos(s[:, 2]), np.sin(s[:, 2])

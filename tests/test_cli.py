@@ -62,6 +62,62 @@ def test_checkpoint_roundtrip(mini_ig):
         np.testing.assert_allclose(np.asarray(g3.poses), np.asarray(g.poses))
 
 
+def test_resume_cli_matches_uninterrupted(tmp_path, capsys, data_dir):
+    """solve(20) == solve(10) -> save -> resume(20): same continuation.
+
+    Iteration-level resume (SURVEY §5 checkpoint/resume): the checkpoint
+    stores the f32 state exactly, and GN steps are deterministic functions
+    of the state, so the resumed trajectory matches the uninterrupted one.
+    """
+    ds = os.path.join(data_dir, "mini_initial_guess.g2o")
+    common = ["--init", "triangulate", "--platform", "cpu"]
+
+    ck_full = tmp_path / "full.npz"
+    rc = main(["solve", ds, "--iters", "20", "--save", str(ck_full), *common])
+    assert rc == 0
+    capsys.readouterr()
+
+    ck_half = tmp_path / "half.npz"
+    rc = main(["solve", ds, "--iters", "10", "--save", str(ck_half), *common])
+    assert rc == 0
+    capsys.readouterr()
+
+    ck_resumed = tmp_path / "resumed.npz"
+    rc = main(
+        ["solve", ds, "--iters", "20", "--resume", str(ck_half),
+         "--save", str(ck_resumed), *common]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "resumed from" in cap.err and "10 iterations remain" in cap.err
+
+    full = np.load(ck_full)
+    res = np.load(ck_resumed)
+    assert int(res["iteration"]) == 20
+    np.testing.assert_allclose(res["poses"], full["poses"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        res["landmarks"], full["landmarks"], rtol=1e-6, atol=1e-7
+    )
+
+
+def test_resume_cli_lm_lambda(tmp_path, capsys, data_dir):
+    """LM resume restores the damping schedule state."""
+    ds = os.path.join(data_dir, "mini_initial_guess.g2o")
+    common = ["--init", "triangulate", "--platform", "cpu", "--optimizer", "lm"]
+
+    ck = tmp_path / "lm.npz"
+    rc = main(["solve", ds, "--iters", "8", "--save", str(ck), *common])
+    assert rc == 0
+    capsys.readouterr()
+    z = np.load(ck)
+    assert float(z["lm_lambda"]) > 0  # schedule state recorded
+
+    rc = main(["solve", ds, "--iters", "12", "--resume", str(ck), *common])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "lm lambda" in cap.err and "4 iterations remain" in cap.err
+
+
 def test_synth_cli(tmp_path):
     out = tmp_path / "seq.g2o"
     rc = main(["synth", "--poses", "50", "--landmarks", "30", "--out", str(out)])
@@ -70,6 +126,56 @@ def test_synth_cli(tmp_path):
     gt = parse_g2o(str(out).replace(".g2o", "_ground_truth.g2o"), use_native=False)
     assert ig.n_poses == 50
     assert len(gt.lm_ids) > 0
+
+
+def test_print_state_cli(capsys, data_dir):
+    """State::print_full_vector equivalent (framework/state.cpp:83-93)."""
+    rc = main(
+        [
+            "solve",
+            os.path.join(data_dir, "mini_initial_guess.g2o"),
+            "--init", "triangulate",
+            "--iters", "2",
+            "--platform", "cpu",
+            "--print-state",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    state_lines = [l for l in out.splitlines() if l.startswith("State: ")]
+    assert len(state_lines) == 1
+    # mini data: 3 poses + 6 landmarks -> 3*3 + 2*6 = 21 numbers
+    assert len(state_lines[0].split()) == 1 + 21
+
+
+def test_draw_only_filters(tmp_path):
+    """DRAW_ONLY_POSE/LM debug-filter equivalents (definitions.hpp:10-11)."""
+    import numpy as np
+
+    from boslam.viz.draw import render_state
+
+    poses = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    lms = np.array([[0.5, 1.0], [1.5, 1.0]], np.float32)
+    b_pose = np.array([0, 0, 1, 1])
+    b_lm = np.array([0, 1, 0, 1])
+    b_meas = np.zeros(4, np.float32)
+    o_src = np.array([0])
+    o_meas = np.array([[1.0, 0.0, 0.0]], np.float32)
+
+    ax_all = render_state(
+        poses, lms, bearings=(b_pose, b_meas, b_lm), odometries=(o_src, o_meas)
+    )
+    ax_f = render_state(
+        poses, lms, bearings=(b_pose, b_meas, b_lm), odometries=(o_src, o_meas),
+        draw_only_pose=1, draw_only_lm=0,
+    )
+    # filtered render draws fewer line artists (1 bearing vs 4, 0 odo vs 1)
+    n_all = len(ax_all.lines)
+    n_f = len(ax_f.lines)
+    assert n_all - n_f == 4  # 3 bearing rays + 1 odometry segment removed
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_bench_cli(capsys, data_dir):

@@ -54,8 +54,8 @@ def test_schur_direct_delta_matches_dense(full_ig):
     the full dense Cholesky delta — algebraic identity, f32 tolerance."""
     g, _ = build_graph(full_ig, init="triangulate")
     cfg = SolverConfig()
-    dp_d, dl_d, _, ok_d = gn_build_and_solve(g, cfg, cfg.damping)
-    dp_s, dl_s, _, ok_s = schur.schur_build_and_solve(
+    dp_d, dl_d, _, ok_d, _ = gn_build_and_solve(g, cfg, cfg.damping)
+    dp_s, dl_s, _, ok_s, _ = schur.schur_build_and_solve(
         g, cfg, cfg.damping, use_cg=False
     )
     assert bool(ok_d) and bool(ok_s)
@@ -76,8 +76,8 @@ def test_schur_cg_delta_approximates_dense(full_ig):
     in direction and magnitude — the inexact-Newton contract."""
     g, _ = build_graph(full_ig, init="triangulate")
     cfg = SolverConfig(cg_iters=300, cg_tol=1e-6)
-    dp_d, dl_d, _, _ = gn_build_and_solve(g, cfg, cfg.damping)
-    dp_s, dl_s, _, ok_s = schur.schur_build_and_solve(
+    dp_d, dl_d, _, _, _ = gn_build_and_solve(g, cfg, cfg.damping)
+    dp_s, dl_s, _, ok_s, _ = schur.schur_build_and_solve(
         g, cfg, cfg.damping, use_cg=True
     )
     assert bool(ok_s)

@@ -63,7 +63,7 @@ def test_packed_delta_matches_flat(full_ig):
         cg_tol=1e-6,
         preconditioner="block_jacobi",
     )
-    dp_f, dl_f, _, ok_f = schur.schur_build_and_solve(g, cfg, cfg.damping, use_cg=True)
+    dp_f, dl_f, _, ok_f, _ = schur.schur_build_and_solve(g, cfg, cfg.damping, use_cg=True)
     dp_p, dl_p, _, ok_p = schur_packed.schur_packed_build_and_solve(
         g, pk, cfg, cfg.damping
     )
@@ -115,7 +115,9 @@ def test_btridiag_preconditioner_cuts_cg_iters(full_ig):
         )
         assert bool(ok)
         iters[which] = int(stats["cg_iters"])
-    assert iters["btridiag"] < iters["block_jacobi"], iters
+    # materially fewer, with slack against f32 summation-order flips on
+    # other hardware/JAX versions (cf. commit 87578b8)
+    assert iters["btridiag"] <= 0.9 * iters["block_jacobi"], iters
 
 
 def test_btridiag_preconditioned_solve_same_optimum(full_ig):
@@ -147,16 +149,20 @@ def test_cg_warm_start_converges(full_ig):
     c_w = float(np.asarray(s_w["chi2_robust"])[-1])
     c_c = float(np.asarray(s_c["chi2_robust"])[-1])
     assert abs(c_w - c_c) / c_c < 0.02, (c_w, c_c)
-    # warm start must not use more total inner iterations
-    assert int(np.asarray(s_w["cg_iters"]).sum()) <= int(
+    # warm start must not use (meaningfully) more total inner iterations;
+    # small slack keeps this robust to f32 summation-order differences
+    assert int(np.asarray(s_w["cg_iters"]).sum()) <= 2 + int(
         np.asarray(s_c["cg_iters"]).sum()
     )
 
 
-def test_packed_fallback_non_chain(mini_ig):
-    """mini dataset has only 2 odometry edges over 3 poses (0->1, 1->2 is a
-    chain actually) — construct a non-chain case instead."""
+def test_packed_non_chain_direct(mini_ig):
+    """A broken chain (reversed edge) is handled by the packed path itself
+    (framework/observation.hpp:43-47 allows arbitrary (i, j) pose pairs):
+    chain-prefix shifts up to the break, gather/segment-sum after it."""
     import dataclasses
+
+    from boslam.graph.packed import pack_edges
 
     ig, _ = generate_sequence(50, 30, seed=0)
     g, _ = build_graph(ig, init="triangulate")
@@ -166,6 +172,40 @@ def test_packed_fallback_non_chain(mini_ig):
         o_src=g.o_src.at[3].set(g.o_dst[3]),
         o_dst=g.o_dst.at[3].set(g.o_src[3]),
     )
-    cfg = SolverConfig(linear_solver="schur_cg", iters=3, cg_iters=30)
-    g_p, s_p = solve_packed(g2, cfg)  # must fall back, not crash
-    assert np.all(np.isfinite(np.asarray(s_p["chi2_robust"])))
+    pk, meta = pack_edges(g2)
+    assert not meta.odometry_is_chain and pk.chain_len == 3
+
+    cfg = SolverConfig(
+        linear_solver="schur_cg", iters=3, cg_iters=60, preconditioner="block_jacobi"
+    )
+    g_p, s_p = solve_packed(g2, cfg)
+    g_f, s_f = solve(g2, cfg)
+    np.testing.assert_allclose(
+        np.asarray(s_p["chi2_robust"], np.float64),
+        np.asarray(s_f["chi2_robust"], np.float64),
+        rtol=2e-3,
+    )
+
+
+def test_packed_loop_closures_match_flat():
+    """Chain + loop closures: packed == flat on the same general graph."""
+    ig, _ = generate_sequence(150, 70, seed=11, loop_closures=8)
+    g, _ = build_graph(ig, init="triangulate")
+    assert g.n_odometry > g.n_poses - 1
+
+    from boslam.graph.packed import pack_edges
+
+    pk, meta = pack_edges(g)
+    assert pk.chain_len == g.n_poses - 1  # full chain prefix kept
+
+    cfg = SolverConfig(
+        linear_solver="schur_cg", iters=5, cg_iters=100, cg_tol=1e-6,
+        preconditioner="block_jacobi",
+    )
+    _, s_p = solve_packed(g, cfg)
+    _, s_f = solve(g, cfg)
+    np.testing.assert_allclose(
+        np.asarray(s_p["chi2_robust"], np.float64),
+        np.asarray(s_f["chi2_robust"], np.float64),
+        rtol=2e-3,
+    )

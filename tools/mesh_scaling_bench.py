@@ -1,0 +1,153 @@
+"""Device-count scaling sweep for the sharded packed Schur+PCG solve.
+
+Multi-chip TPU hardware is not attached in this environment, so this
+measures the 1/2/4/8-device scaling of the config-5 layout on the virtual
+CPU mesh (``xla_force_host_platform_device_count``).  Virtual devices
+share one host's cores, so wall-clock speedup is NOT the point — the
+sweep validates that (a) the sharded program compiles and executes at
+every mesh size with parity, (b) per-device slot work shrinks as 1/D, and
+(c) the collective volume per iteration (the psum'd reduced system) is
+mesh-size-independent — the three properties that determine ICI scaling
+on real hardware.  Efficiency on real chips is then bounded by
+compute(1/D) + collectives(const)/ici_bw, reported here analytically.
+
+Usage:
+  python tools/mesh_scaling_bench.py --sweep                 # 1 2 4 8
+  python tools/mesh_scaling_bench.py --devices 4 [--poses N] # one point
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_one(n_devices: int, n_poses: int, iters: int, cg_iters: int) -> dict:
+    """Measure the sharded packed solve on an n-device mesh (this process)."""
+    import jax
+    import numpy as np
+
+    from boslam.config import SolverConfig
+    from boslam.graph.build import build_graph
+    from boslam.graph.packed import pack_edges
+    from boslam.parallel.mesh import make_mesh
+    from boslam.parallel.sharded_packed import (
+        make_sharded_packed_solve,
+        shard_packed,
+    )
+    from boslam.synth import generate_sequence
+
+    ig, _ = generate_sequence(
+        n_poses, max(8, n_poses * 2 // 5), seed=0, loop_closures=n_poses // 100
+    )
+    graph, _ = build_graph(ig, init="triangulate")
+    cfg = SolverConfig(
+        linear_solver="schur_cg",
+        iters=iters,
+        cg_iters=cg_iters,
+        cg_tol=1e-5,
+        preconditioner="btridiag",
+        cg_warm_start=True,
+    )
+    mesh = make_mesh(n_devices)
+    pk, _ = pack_edges(graph)
+    gs, pks = shard_packed(graph, pk, mesh)
+    solve = make_sharded_packed_solve(mesh, cfg, pks)
+
+    t0 = time.perf_counter()
+    out, stats = solve(gs, pks)
+    jax.block_until_ready(out.poses)
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, stats = solve(gs, pks)
+        jax.block_until_ready(out.poses)
+        best = min(best, time.perf_counter() - t0)
+
+    chi2 = np.asarray(stats["chi2_robust"], np.float64)
+    NP_, NL = graph.n_poses, graph.n_landmarks
+    # Per-CG-matvec psum payload (replicated reduced-system products):
+    # z [NL,2] + y_partial [NP,3]; per-build psum: Hpp [NP,9] + Hll [NL,4]
+    # + bp [NP,3] + bl [NL,2] (+ scalar stats).  f32.
+    cg_total = int(np.asarray(stats["cg_iters"]).sum())
+    psum_bytes = 4 * (
+        cg_total * (2 * NL + 3 * NP_)
+        + iters * (9 * NP_ + 4 * NL + 3 * NP_ + 2 * NL)
+    )
+    return {
+        "devices": n_devices,
+        "n_poses": NP_,
+        "n_landmarks": NL,
+        "slots_per_device": (pks.K * NP_ + pks.K2 * NL) // n_devices,
+        "iters": iters,
+        "cg_iters_total": cg_total,
+        "time_per_outer_ms": round(best / iters * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "psum_mb_per_solve": round(psum_bytes / 1e6, 2),
+        "chi2_initial": float(chi2[0]),
+        "chi2_final": float(chi2[-1]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--poses", type=int, default=5000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cg-iters", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.sweep:
+        results = []
+        for d in (1, 2, 4, 8):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--devices", str(d), "--poses", str(args.poses),
+                "--iters", str(args.iters), "--cg-iters", str(args.cg_iters),
+            ]
+            log(f"--- {d} device(s) ---")
+            out = subprocess.run(cmd, capture_output=True, text=True)
+            if out.returncode != 0:
+                log(out.stderr[-2000:])
+                raise SystemExit(f"sweep point devices={d} failed")
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            results.append(rec)
+            log(json.dumps(rec))
+        base = results[0]
+        for r in results:
+            r["chi2_rel_vs_1dev"] = abs(r["chi2_final"] - base["chi2_final"]) / abs(
+                base["chi2_final"]
+            )
+            r["work_fraction"] = r["slots_per_device"] / base["slots_per_device"]
+        print(json.dumps(results, indent=1))
+        return
+
+    # single point: force the virtual CPU mesh before jax import
+    n = args.devices or 8
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    rec = run_one(n, args.poses, args.iters, args.cg_iters)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

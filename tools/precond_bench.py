@@ -29,12 +29,13 @@ def run(graph, pk, cfg, iters):
     jax.block_until_ready(g2.poses)  # compile
     t0 = time.perf_counter()
     g, dp = graph, dp0
-    cg_total = 0
+    cg_traces = []
     for _ in range(iters):
         g, s, dp = step(g, dp)
-        cg_total += int(s["cg_iters"])
+        cg_traces.append(s["cg_iters"])  # traced; no host sync inside timing
     jax.block_until_ready(g.poses)
     dt = time.perf_counter() - t0
+    cg_total = int(sum(int(c) for c in cg_traces))
     return g, dt, cg_total
 
 

@@ -94,31 +94,67 @@ def config_1_2_3(which: int):
 
 
 def config_4_5(which: int, poses_override=None):
+    import jax
     import numpy as np
 
     from boslam.config import SolverConfig
     from boslam.graph.build import build_graph
+    from boslam.graph.packed import pack_edges
     from boslam.solver.normal_eq import chi2_stats, edge_terms
+    from boslam.solver.schur_packed import packed_gn_step
     from boslam.synth import generate_sequence
+    from boslam.utils.roofline import packed_outer_model, roofline_report
 
     n = poses_override or (10_000 if which == 4 else 100_000)
     log(f"generating {n}-pose synthetic sequence...")
     ig, gt = generate_sequence(n, max(8, n * 2 // 5), seed=0)
     graph, meta = build_graph(ig, init="triangulate")
-    cfg = SolverConfig(linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4)
+    cfg = SolverConfig(
+        linear_solver="schur_cg",
+        cg_iters=50,
+        cg_tol=1e-4,
+        preconditioner="btridiag",
+        cg_warm_start=True,
+    )
+    pk, pmeta = pack_edges(graph)
+    log(f"packed: K={pk.K} K2={pk.K2} fill={pmeta.fill_pose:.2f}/{pmeta.fill_lm:.2f}")
     iters = 5
-    best, final = _timed_steps(graph, cfg, iters, repeats=2)
-    import jax
+
+    step = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
+    dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
+    g, dp = graph, dp0
+    g2, _, _ = step(g, dp)
+    jax.block_until_ready(g2.poses)  # compile
+    best = float("inf")
+    cg_traces = []
+    for _ in range(2):
+        g, dp = graph, dp0
+        cg_traces = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g, s, dp = step(g, dp)
+            cg_traces.append(s["cg_iters"])
+        jax.block_until_ready(g.poses)
+        best = min(best, time.perf_counter() - t0)
+    final = g
+    cg_mean = float(np.mean([int(c) for c in cg_traces]))
+
+    flops, bytes_ = packed_outer_model(
+        graph.n_poses, graph.n_landmarks, pk.K, pk.K2, graph.n_odometry, cg_mean
+    )
+    roof = roofline_report(flops, bytes_, best / iters)
 
     fs = jax.jit(lambda x: chi2_stats(edge_terms(x, cfg), cfg))
     return {
         "config": which,
-        "name": f"synthetic_{n}_schur_cg",
+        "name": f"synthetic_{n}_packed_schur_cg",
         "n_poses": graph.n_poses,
         "n_landmarks": graph.n_landmarks,
         "n_edges": graph.n_bearing + graph.n_odometry,
         "iters_per_s": round(iters / best, 3),
         "poses_optimized_per_s": round(graph.n_poses * iters / best, 0),
+        "cg_iters_mean": cg_mean,
+        "roofline": roof,
         "chi2_initial": float(np.asarray(fs(graph)["chi2_robust"])),
         "chi2_after": float(np.asarray(fs(final)["chi2_robust"])),
     }
