@@ -51,6 +51,20 @@ class SolverConfig:
     # scan loop).  Off by default: keeps per-step parity with the flat path.
     cg_warm_start: bool = False
 
+    # --- packed-path gather strategy ---
+    # "take":     plain index gathers.  Measured on TPU v5e: XLA fuses
+    #             gathers into their consumers (the slot einsums), making
+    #             them nearly free — the round-1 per-row cost applies to
+    #             scatter-ADDs, which the packed layout already removed.
+    # "windowed": landmark locality reorder + per-tile windowed one-hot
+    #             gathers (ops/windowed_gather.py).  Experimental: exact
+    #             (parity 0.0 on TPU) but measured SLOWER than "take"
+    #             because the opaque kernel cannot fuse and materializes
+    #             its [R, K, 128] output (PERF.md).  Kept for structures
+    #             where a fused consumer is impossible.
+    # "auto":     currently "take" everywhere (measured default).
+    gather: str = "auto"  # "auto" | "windowed" | "take"
+
     # --- normal-equation assembly strategy ---
     # "scatter": index gathers + scatter-adds (general; right at large N).
     # "matmul":  one-hot design-matrix formulation — every gather/segment-sum

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from boslam.graph.data import FactorGraph
+from boslam.ops.windowed_gather import WindowPlan, plan_windows
 
 
 @dataclasses.dataclass
@@ -61,6 +62,11 @@ class PackedEdges:
     l_omega: jnp.ndarray
     odometry_is_chain: bool = dataclasses.field(metadata=dict(static=True))
     chain_len: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Windowed-gather plans (boslam/ops/windowed_gather.py); None = plain
+    # index gathers.  Useful only after landmark locality reordering
+    # (boslam/graph/reorder.py) — pack_edges(windows=...) builds them.
+    p_plan: Optional[WindowPlan] = None
+    l_plan: Optional[WindowPlan] = None
 
     @property
     def K(self) -> int:
@@ -73,7 +79,8 @@ class PackedEdges:
 
 jax.tree_util.register_dataclass(
     PackedEdges,
-    data_fields=["p_lm", "p_meas", "p_omega", "l_pose", "l_meas", "l_omega"],
+    data_fields=["p_lm", "p_meas", "p_omega", "l_pose", "l_meas", "l_omega",
+                 "p_plan", "l_plan"],
     meta_fields=["odometry_is_chain", "chain_len"],
 )
 
@@ -83,10 +90,18 @@ class PackedMeta:
     odometry_is_chain: bool
     fill_pose: float  # fraction of pose-packed slots that are real edges
     fill_lm: float
+    windowed: bool = False  # windowed-gather plans built for both grids
 
 
-def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
-    """Host-side packing (numpy; one-time at load)."""
+def pack_edges(
+    g: FactorGraph, windows: bool = False
+) -> tuple[PackedEdges, PackedMeta]:
+    """Host-side packing (numpy; one-time at load).
+
+    ``windows=True`` additionally plans windowed gathers for both slot
+    grids (requires the caller to have locality-reordered landmarks,
+    boslam/graph/reorder.py; falls back silently per grid when the index
+    structure has no usable locality)."""
     b_pose = np.asarray(g.b_pose)
     b_lm = np.asarray(g.b_lm)
     b_meas = np.asarray(g.b_meas)
@@ -122,6 +137,11 @@ def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
     chain_len = int(np.argmin(is_chain_edge)) if not is_chain_edge.all() else len(o_src)
     chain = chain_len == len(o_src) == NP_ - 1
 
+    p_plan = l_plan = None
+    if windows:
+        p_plan = plan_windows(p_lm, p_omega > 0, NL)
+        l_plan = plan_windows(l_pose, l_omega > 0, NP_)
+
     packed = PackedEdges(
         p_lm=jnp.asarray(p_lm),
         p_meas=jnp.asarray(p_meas),
@@ -131,10 +151,13 @@ def pack_edges(g: FactorGraph) -> tuple[PackedEdges, PackedMeta]:
         l_omega=jnp.asarray(l_omega),
         odometry_is_chain=bool(chain),
         chain_len=chain_len,
+        p_plan=p_plan,
+        l_plan=l_plan,
     )
     meta = PackedMeta(
         odometry_is_chain=bool(chain),
         fill_pose=NB / max(1, NP_ * K),
         fill_lm=NB / max(1, NL * K2),
+        windowed=p_plan is not None and l_plan is not None,
     )
     return packed, meta

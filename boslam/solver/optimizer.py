@@ -165,9 +165,22 @@ def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, di
     from boslam.graph.packed import pack_edges
     from boslam.solver.schur_packed import packed_gn_step
 
-    pk, meta = pack_edges(graph)
     if cfg.optimizer != "gn":
         return solve(graph, cfg)
+
+    # "auto" == "take": measured on TPU (PERF.md), fused XLA gathers beat
+    # the windowed kernel; "windowed" stays available as an explicit opt-in.
+    use_windows = cfg.gather == "windowed"
+    inv = None
+    g_in = graph
+    if use_windows:
+        # Landmark locality reorder makes both slot grids banded so the
+        # windowed one-hot gather applies (PERF.md roadmap #1); the
+        # relabeling is unmapped on the way out.
+        from boslam.graph.reorder import reorder_landmarks_by_pose
+
+        g_in, _perm, inv = reorder_landmarks_by_pose(graph)
+    pk, meta = pack_edges(g_in, windows=use_windows)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def _solve(g, pk, cfg):
@@ -181,4 +194,7 @@ def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, di
         (final, _), stats = jax.lax.scan(body, (g, dp0), None, length=cfg.iters)
         return final, stats
 
-    return _solve(graph, pk, cfg)
+    final, stats = _solve(g_in, pk, cfg)
+    if inv is not None:
+        final = graph.with_state(final.poses, final.landmarks[jnp.asarray(inv)])
+    return final, stats

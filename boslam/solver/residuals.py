@@ -122,7 +122,12 @@ def bearing_jacobians_from(p: jnp.ndarray, l: jnp.ndarray):
     c, s = jnp.cos(p[..., 2]), jnp.sin(p[..., 2])
     g = inverse_transform_point(p, l)
     gx, gy = g[..., 0], g[..., 1]
-    inv_n2 = 1.0 / (gx * gx + gy * gy)
+    # guard the landmark==pose degeneracy: real edges never hit it, but
+    # zero-information padding slots can (windowed gathers produce exact
+    # zero coordinates for them); their contribution is omega-masked to
+    # zero downstream, so any finite value is correct — NaN would not be.
+    n2 = gx * gx + gy * gy
+    inv_n2 = 1.0 / jnp.maximum(n2, jnp.finfo(n2.dtype).tiny)
     ax = -gy * inv_n2  # d atan2 / d gx
     ay = gx * inv_n2  # d atan2 / d gy
 

@@ -30,9 +30,24 @@ import jax.numpy as jnp
 from boslam.config import SolverConfig
 from boslam.graph.data import FactorGraph
 from boslam.graph.packed import PackedEdges
+from boslam.ops.windowed_gather import WindowPlan, windowed_take
 from boslam.solver import residuals as R
 from boslam.solver.robust import robust_cost, robust_weights
 from boslam.solver.schur import _inv2x2, _inv3x3, _pose_mask, pcg
+
+
+def _take(values: jnp.ndarray, idx: jnp.ndarray, plan: "WindowPlan | None"):
+    """values[idx] by plain gather, or by the windowed one-hot kernel when a
+    plan exists (PERF.md roadmap #1: per-row gathers -> per-tile DMA+MXU).
+
+    Plain gather fetches row 0 for padding slots (omega-masked downstream);
+    the windowed kernel yields exact zeros for them — both are correct.
+    """
+    if plan is None:
+        return values[idx]
+    flat = values.reshape(values.shape[0], -1)
+    out = windowed_take(flat, idx, plan, interpret=jax.default_backend() == "cpu")
+    return out.reshape(idx.shape + values.shape[1:])
 
 
 class PackedBlocks(NamedTuple):
@@ -78,7 +93,7 @@ def build_packed_blocks(
 
     # ---- pose-packed pass: pose broadcast, landmarks gathered ----
     p_slot = jnp.broadcast_to(g.poses[:, None, :], (NP_, pk.p_lm.shape[1], 3))
-    l_slot = g.landmarks[pk.p_lm]  # gather (NP*K rows)
+    l_slot = _take(g.landmarks, pk.p_lm, pk.p_plan)  # gather (NP*K rows)
     (be_p, bchi2_p, Hpp_b, _Hll_p, Bp, bp_b, _bl_p) = _bearing_slot_terms(
         p_slot, l_slot, pk.p_meas, pk.p_omega, cfg
     )
@@ -87,7 +102,7 @@ def build_packed_blocks(
 
     # ---- landmark-packed pass: landmark broadcast, poses gathered ----
     l_slot2 = jnp.broadcast_to(g.landmarks[:, None, :], (NL, pk.l_pose.shape[1], 2))
-    p_slot2 = g.poses[pk.l_pose]  # gather (NL*K2 rows)
+    p_slot2 = _take(g.poses, pk.l_pose, pk.l_plan)  # gather (NL*K2 rows)
     (_be_l, _bchi2_l, _Hpp_l, Hll_b, Bl, _bp_l, bl_b) = _bearing_slot_terms(
         p_slot2, l_slot2, pk.l_meas, pk.l_omega, cfg
     )
@@ -208,14 +223,14 @@ def packed_s_matvec(
     NP_ = x.shape[0]
 
     # z = Hlp @ x  (landmark-packed: gather x by slot pose, sum local slots)
-    xg = xm[pk.l_pose]  # [NL, K2, 3]
+    xg = _take(xm, pk.l_pose, pk.l_plan)  # [NL, K2, 3]
     z = jnp.einsum("lkij,lki->lj", blocks.Bl, xg)
     if axis_name is not None:
         z = jax.lax.psum(z, axis_name)
     w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)
 
     # y_corr = Hpl @ w  (pose-packed: gather w by slot landmark, sum slots)
-    wg = w[pk.p_lm]  # [NP, K, 2]
+    wg = _take(w, pk.p_lm, pk.p_plan)  # [NP, K, 2]
     y_corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, wg)
     y_odo = _odometry_coupling(blocks, pk, xm, NP_, axis_name)
     y_partial = y_odo - y_corr
@@ -230,7 +245,7 @@ def packed_s_diag(
     blocks: PackedBlocks, pk: PackedEdges, axis_name: str | None = None
 ) -> jnp.ndarray:
     """Exact diag(S): Hpp_ii - sum_k B Hll_inv[lm] B^T over the pose slots."""
-    Hinv_g = blocks.Hll_inv[pk.p_lm]  # [NP, K, 2, 2] gather
+    Hinv_g = _take(blocks.Hll_inv, pk.p_lm, pk.p_plan)  # [NP, K, 2, 2] gather
     corr = jnp.einsum("pkij,pkjl,pkml->pim", blocks.Bp, Hinv_g, blocks.Bp)
     if axis_name is not None:
         corr = jax.lax.psum(corr, axis_name)
@@ -306,7 +321,7 @@ def schur_packed_build_and_solve(
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
     w0 = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
-    corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, w0[pk.p_lm])
+    corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, _take(w0, pk.p_lm, pk.p_plan))
     if axis_name is not None:
         corr = jax.lax.psum(corr, axis_name)
     rhs = (-blocks.bp + corr) * mask
@@ -318,7 +333,7 @@ def schur_packed_build_and_solve(
     dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0)
     dp = dp * mask
 
-    hlp_dp = jnp.einsum("lkij,lki->lj", blocks.Bl, dp[pk.l_pose])
+    hlp_dp = jnp.einsum("lkij,lki->lj", blocks.Bl, _take(dp, pk.l_pose, pk.l_plan))
     if axis_name is not None:
         hlp_dp = jax.lax.psum(hlp_dp, axis_name)
     dl = jnp.einsum("lij,lj->li", blocks.Hll_inv, -blocks.bl - hlp_dp)
