@@ -35,6 +35,14 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
                    help="weight H by the robust weight too (disable the reference's b-side-only quirk, slam/solver.cpp:38-45)")
     p.add_argument("--autodiff-jacobians", action="store_true",
                    help="use jax.jacfwd instead of analytic Jacobians (the reference's numerical-Jacobian verification mode)")
+    p.add_argument("--coupling-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="packed path: storage dtype of the Schur coupling "
+                        "blocks (bfloat16 halves CG-matvec HBM traffic; "
+                        "f32 accumulate)")
+    p.add_argument("--lm-split", default="auto",
+                   help="packed path: landmark-grid slot cap; hot landmarks "
+                        "split into virtual rows ('auto' | 0 = off | int cap)")
     p.add_argument("--sharded", action="store_true", help="shard edges over all devices")
     p.add_argument("--packed", action="store_true",
                    help="dual-packed Schur+PCG layout (the large-scale path)")
@@ -54,6 +62,8 @@ def _cfg_from_args(args):
         cg_iters=args.cg_iters,
         reference_kernel_quirk=not args.textbook_kernel,
         use_autodiff_jacobians=args.autodiff_jacobians,
+        lm_split=args.lm_split if args.lm_split == "auto" else int(args.lm_split),
+        coupling_dtype=args.coupling_dtype,
     )
 
 

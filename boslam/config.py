@@ -47,6 +47,14 @@ class SolverConfig:
     #                 chain odometry only.
     # "auto":         btridiag when the packed-chain path is active.
     preconditioner: str = "auto"  # "auto" | "block_jacobi" | "btridiag"
+    # f32 cyclic reduction of a strongly-coupled chain loses positive
+    # definiteness once the chain's condition (~length^2 x omega ratio)
+    # outgrows f32 — measured: PD at 5k poses, indefinite at 10k (PERF.md).
+    # Chains longer than this are cut into independent sub-chains (band
+    # zeroed every btridiag_block poses): each factors at bounded
+    # condition, stays SPD, and still captures the local chain coupling;
+    # CG handles the few long-wavelength cross-block modes.  0 = no limit.
+    btridiag_block: int = 2048
     # Warm-start CG from the previous outer iteration's solution (packed
     # scan loop).  Off by default: keeps per-step parity with the flat path.
     cg_warm_start: bool = False
@@ -64,6 +72,25 @@ class SolverConfig:
     #             where a fused consumer is impossible.
     # "auto":     currently "take" everywhere (measured default).
     gather: str = "auto"  # "auto" | "windowed" | "take"
+
+    # --- packed-path coupling-block storage dtype ---
+    # The B coupling blocks ([NP,K,3,2] / [NLV,K2,3,2]) dominate the CG
+    # matvec's HBM traffic (they are re-read every inner iteration).
+    # "bfloat16" stores them half-size and runs the coupling einsums as
+    # bf16 x bf16 -> f32 (MXU-native, f32 accumulate): traffic halves for
+    # a ~4e-3 relative perturbation of S — an inexact-Newton-sized error,
+    # bounded against cg_tol in tests/test_schur_packed.py.  The assembled
+    # diagonal blocks, rhs, preconditioner, and CG vectors stay f32.
+    coupling_dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # --- packed-path hot-landmark splitting ---
+    # Cap on landmark-grid slots per row: landmarks observed more often
+    # than the cap get multiple virtual rows + a small segment-sum finish
+    # (graph/packed.py).  K2 is otherwise the MAX observation count —
+    # driven by a few hot landmarks, leaving the grid ~1/3 full at scale
+    # (PERF.md).  "auto" picks the cap from the count distribution (or
+    # declines when counts are uniform); an int forces it; 0 disables.
+    lm_split: "str | int" = "auto"  # "auto" | 0 (off) | explicit cap
 
     # --- normal-equation assembly strategy ---
     # "scatter": index gathers + scatter-adds (general; right at large N).

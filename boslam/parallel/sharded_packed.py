@@ -68,13 +68,17 @@ def pad_packed(pk: PackedEdges, k: int) -> PackedEdges:
 
 
 def _packed_specs(pk: PackedEdges, axis_name: str) -> PackedEdges:
-    """PartitionSpec pytree: slot grids sharded along their slot axes."""
+    """PartitionSpec pytree: slot grids sharded along their slot axes.
+
+    The virtual-row -> landmark map (hot-landmark splitting) is replicated
+    — it is i32[NLV], tiny next to the grids it indexes."""
     s = P(None, axis_name)
     return PackedEdges(
         p_lm=s, p_meas=s, p_omega=s,
         l_pose=s, l_meas=s, l_omega=s,
         odometry_is_chain=pk.odometry_is_chain,
         chain_len=pk.chain_len,
+        l_virt=None if pk.l_virt is None else P(None),
     )
 
 
@@ -139,7 +143,7 @@ def sharded_packed_solve(
         from boslam.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    pk, _ = pack_edges(g)
+    pk, _ = pack_edges(g, split_lm=cfg.lm_split)
     gs, pks = shard_packed(g, pk, mesh)
     out, stats = make_sharded_packed_solve(mesh, cfg, pks)(gs, pks)
     return out, stats

@@ -180,7 +180,7 @@ def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, di
         from boslam.graph.reorder import reorder_landmarks_by_pose
 
         g_in, _perm, inv = reorder_landmarks_by_pose(graph)
-    pk, meta = pack_edges(g_in, windows=use_windows)
+    pk, meta = pack_edges(g_in, windows=use_windows, split_lm=cfg.lm_split)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def _solve(g, pk, cfg):

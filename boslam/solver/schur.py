@@ -258,6 +258,15 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     ``x0`` warm-starts the iteration (default zeros).  Fixed-shape
     while_loop (XLA-friendly); terminates on relative residual or iteration
     cap.  Returns (x, n_iters, final_rel_residual2).
+
+    Breakdown-safe (truncated/Steihaug CG): if f32 roundoff surfaces
+    non-positive curvature (p^T A p <= 0) the step is skipped and the
+    iteration stops at the current iterate; if the preconditioned product
+    r^T z goes non-positive (an indefinite preconditioner apply) it stops
+    after the current (still valid) x-update.  The old
+    ``max(p^T A p, tiny)`` guard instead turned breakdown into a 1e38
+    alpha -> inf -> NaN cascade that the outer NaN guard silently zeroed —
+    the scale-regime solve was a no-op (caught on 10k-pose synthetics).
     """
     if callable(precond):
         apply_m = precond
@@ -274,23 +283,34 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     b2 = jnp.maximum(dot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
 
     def cond(state):
-        _, r, _, _, k, _ = state
-        return jnp.logical_and(k < max_iters, dot(r, r) / b2 > tol * tol)
+        _, r, _, _, k, rz, stop = state
+        return jnp.logical_not(stop) & (k < max_iters) & (
+            dot(r, r) / b2 > tol * tol
+        )
 
     def body(state):
-        x, r, z, p, k, rz = state
+        x, r, z, p, k, rz, _stop = state
         Ap = matvec(p)
-        alpha = rz / jnp.maximum(dot(p, Ap), jnp.finfo(rhs.dtype).tiny)
+        pAp = dot(p, Ap)
+        curv_ok = pAp > 0
+        alpha = jnp.where(curv_ok, rz, 0.0) / jnp.where(curv_ok, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = apply_m(r)
         rz_new = dot(r, z)
-        beta = rz_new / jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
+        rz_ok = rz_new > 0
+        beta = jnp.where(rz_ok, rz_new, 0.0) / jnp.maximum(
+            rz, jnp.finfo(rhs.dtype).tiny
+        )
         p = z + beta * p
-        return x, r, z, p, k + 1, rz_new
+        stop = jnp.logical_not(curv_ok & rz_ok)
+        return x, r, z, p, k + 1, rz_new, stop
 
-    x, r, _, _, k, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0)
+    # An indefinite FIRST preconditioner apply (rz0 <= 0 with a nonzero
+    # residual) means z0 is not a descent direction: stop immediately at x0.
+    stop0 = jnp.logical_and(rz0 <= 0, dot(r0, r0) / b2 > tol * tol)
+    x, r, _, _, k, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0, stop0)
     )
     return x, k, dot(r, r) / b2
 

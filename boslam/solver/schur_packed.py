@@ -50,11 +50,34 @@ def _take(values: jnp.ndarray, idx: jnp.ndarray, plan: "WindowPlan | None"):
     return out.reshape(idx.shape + values.shape[1:])
 
 
+def _couple(spec: str, B, x):
+    """Coupling-block einsum with f32 accumulation regardless of storage.
+
+    When the B blocks are stored bf16 (cfg.coupling_dtype, halving their
+    per-CG-iteration HBM traffic) the other operand is cast down too, so
+    the contraction runs as MXU-native bf16 x bf16 -> f32; f32 storage is
+    a plain f32 einsum."""
+    return jnp.einsum(
+        spec, B, x.astype(B.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def _lm_rows_sum(x, pk: PackedEdges, NL: int):
+    """Finish a landmark-keyed reduction over the grid's virtual rows.
+
+    Identity when rows are 1:1 with landmarks; with hot-landmark
+    splitting, a segment-sum of the ~NL virtual-row partials (fused Hll/bl
+    or z payloads) keyed by ``pk.l_virt``."""
+    if pk.l_virt is None:
+        return x
+    return jax.ops.segment_sum(x, pk.l_virt, num_segments=NL)
+
+
 class PackedBlocks(NamedTuple):
     Hpp_diag: jnp.ndarray  # [NP, 3, 3] (replicated after psum)
     Hll_inv: jnp.ndarray  # [NL, 2, 2] (replicated after psum)
     Bp: jnp.ndarray  # [NP, K, 3, 2] pose-packed coupling blocks (local slots)
-    Bl: jnp.ndarray  # [NL, K2, 3, 2] landmark-packed coupling blocks (local)
+    Bl: jnp.ndarray  # [NLV, K2, 3, 2] landmark-packed coupling blocks (local)
     bp: jnp.ndarray  # [NP, 3]
     bl: jnp.ndarray  # [NL, 2]
     Ho_sd: jnp.ndarray  # [NO, 3, 3] odometry couplings (local shard)
@@ -101,13 +124,18 @@ def build_packed_blocks(
     bp = jnp.sum(bp_b, axis=1)
 
     # ---- landmark-packed pass: landmark broadcast, poses gathered ----
-    l_slot2 = jnp.broadcast_to(g.landmarks[:, None, :], (NL, pk.l_pose.shape[1], 2))
-    p_slot2 = _take(g.poses, pk.l_pose, pk.l_plan)  # gather (NL*K2 rows)
+    # With hot-landmark splitting (pk.l_virt) the grid has NLV >= NL
+    # virtual rows; the landmark of row v is pk.l_virt[v] and the
+    # per-landmark sums finish with one small segment-sum over rows.
+    lm_rows = g.landmarks if pk.l_virt is None else g.landmarks[pk.l_virt]
+    NLV = pk.l_pose.shape[0]
+    l_slot2 = jnp.broadcast_to(lm_rows[:, None, :], (NLV, pk.l_pose.shape[1], 2))
+    p_slot2 = _take(g.poses, pk.l_pose, pk.l_plan)  # gather (NLV*K2 rows)
     (_be_l, _bchi2_l, _Hpp_l, Hll_b, Bl, _bp_l, bl_b) = _bearing_slot_terms(
         p_slot2, l_slot2, pk.l_meas, pk.l_omega, cfg
     )
-    Hll = jnp.sum(Hll_b, axis=1)
-    bl = jnp.sum(bl_b, axis=1)
+    Hll = _lm_rows_sum(jnp.sum(Hll_b, axis=1), pk, NL)
+    bl = _lm_rows_sum(jnp.sum(bl_b, axis=1), pk, NL)
 
     # ---- odometry ----
     oe = R.odometry_error(g.poses, g.o_src, g.o_dst, g.o_meas)
@@ -170,6 +198,9 @@ def build_packed_blocks(
     Hpp_diag = Hpp_diag + damping * eye3
     Hll_inv = _inv2x2(Hll + damping * eye2)
 
+    if cfg.coupling_dtype == "bfloat16":
+        Bp = Bp.astype(jnp.bfloat16)
+        Bl = Bl.astype(jnp.bfloat16)
     blocks = PackedBlocks(
         Hpp_diag, Hll_inv, Bp, Bl, bp, bl, H_sd, g.o_src, g.o_dst
     )
@@ -223,15 +254,16 @@ def packed_s_matvec(
     NP_ = x.shape[0]
 
     # z = Hlp @ x  (landmark-packed: gather x by slot pose, sum local slots)
-    xg = _take(xm, pk.l_pose, pk.l_plan)  # [NL, K2, 3]
-    z = jnp.einsum("lkij,lki->lj", blocks.Bl, xg)
+    xg = _take(xm, pk.l_pose, pk.l_plan)  # [NLV, K2, 3]
+    z = _couple("lkij,lki->lj", blocks.Bl, xg)
+    z = _lm_rows_sum(z, pk, blocks.Hll_inv.shape[0])
     if axis_name is not None:
         z = jax.lax.psum(z, axis_name)
     w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)
 
     # y_corr = Hpl @ w  (pose-packed: gather w by slot landmark, sum slots)
     wg = _take(w, pk.p_lm, pk.p_plan)  # [NP, K, 2]
-    y_corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, wg)
+    y_corr = _couple("pkij,pkj->pi", blocks.Bp, wg)
     y_odo = _odometry_coupling(blocks, pk, xm, NP_, axis_name)
     y_partial = y_odo - y_corr
     if axis_name is not None:
@@ -246,7 +278,13 @@ def packed_s_diag(
 ) -> jnp.ndarray:
     """Exact diag(S): Hpp_ii - sum_k B Hll_inv[lm] B^T over the pose slots."""
     Hinv_g = _take(blocks.Hll_inv, pk.p_lm, pk.p_plan)  # [NP, K, 2, 2] gather
-    corr = jnp.einsum("pkij,pkjl,pkml->pim", blocks.Bp, Hinv_g, blocks.Bp)
+    corr = jnp.einsum(
+        "pkij,pkjl,pkml->pim",
+        blocks.Bp,
+        Hinv_g.astype(blocks.Bp.dtype),
+        blocks.Bp,
+        preferred_element_type=jnp.float32,
+    )
     if axis_name is not None:
         corr = jax.lax.psum(corr, axis_name)
     return blocks.Hpp_diag - corr
@@ -300,6 +338,14 @@ def _packed_preconditioner(
 
     band = _chain_band(blocks, pk, NP_, axis_name)
     band = band * (mask[:-1, :, None] * mask[1:, :, None])
+    if cfg.btridiag_block and NP_ > cfg.btridiag_block:
+        # Cut the chain into independent sub-chains of bounded condition:
+        # f32 cyclic reduction of the FULL strongly-coupled chain goes
+        # indefinite past ~5-10k poses (cond ~ length^2), which poisons
+        # PCG (see config.btridiag_block and solver/schur.py::pcg).
+        i = jnp.arange(NP_ - 1)
+        keep = ((i + 1) % cfg.btridiag_block) != 0
+        band = band * keep[:, None, None].astype(band.dtype)
     factor = btridiag_factor(d, band)
     return lambda r: btridiag_solve(factor, r)
 
@@ -321,7 +367,7 @@ def schur_packed_build_and_solve(
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
     w0 = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
-    corr = jnp.einsum("pkij,pkj->pi", blocks.Bp, _take(w0, pk.p_lm, pk.p_plan))
+    corr = _couple("pkij,pkj->pi", blocks.Bp, _take(w0, pk.p_lm, pk.p_plan))
     if axis_name is not None:
         corr = jax.lax.psum(corr, axis_name)
     rhs = (-blocks.bp + corr) * mask
@@ -330,10 +376,18 @@ def schur_packed_build_and_solve(
     matvec = lambda x: packed_s_matvec(blocks, pk, x, mask, axis_name)
     if x0 is not None:
         x0 = x0 * mask
-    dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0)
+    # bf16 coupling blocks put a ~2^-8 noise floor under the matvec: the
+    # true residual cannot drop below it, so asking CG for less just runs
+    # it to the cap against rounding fiction.  Clamp the tolerance to the
+    # floor (inexact-Newton: outer GN converges for any fixed eta < 1).
+    cg_tol = cfg.cg_tol
+    if cfg.coupling_dtype == "bfloat16":
+        cg_tol = max(cg_tol, 4e-3)
+    dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cg_tol, x0)
     dp = dp * mask
 
-    hlp_dp = jnp.einsum("lkij,lki->lj", blocks.Bl, _take(dp, pk.l_pose, pk.l_plan))
+    hlp_dp = _couple("lkij,lki->lj", blocks.Bl, _take(dp, pk.l_pose, pk.l_plan))
+    hlp_dp = _lm_rows_sum(hlp_dp, pk, blocks.Hll_inv.shape[0])
     if axis_name is not None:
         hlp_dp = jax.lax.psum(hlp_dp, axis_name)
     dl = jnp.einsum("lij,lj->li", blocks.Hll_inv, -blocks.bl - hlp_dp)

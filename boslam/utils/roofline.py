@@ -67,20 +67,30 @@ def dense_step_model(NP: int, NL: int, NB: int, NO: int) -> tuple[float, float]:
 
 
 def packed_outer_model(
-    NP: int, NL: int, K: int, K2: int, NO: int, cg_iters: int
+    NP: int,
+    NL: int,
+    K: int,
+    K2: int,
+    NO: int,
+    cg_iters: int,
+    lm_rows: "int | None" = None,
+    coupling_bytes: float = 4.0,
 ) -> tuple[float, float]:
     """(flops, hbm_bytes) of one packed Schur+PCG outer iteration.
 
     Build: per-slot residual/Jacobian/outer-product math over both slot
     grids.  Per CG iteration: the two coupling einsums over the [NP,K] /
-    [NL,K2] block grids dominate both FLOPs and traffic (the B blocks are
-    re-read every matvec).
+    [NLV,K2] block grids dominate both FLOPs and traffic (the B blocks are
+    re-read every matvec).  ``lm_rows`` (NLV) is the landmark grid's row
+    count — > NL under hot-landmark splitting (graph/packed.py), NL
+    otherwise.
     """
-    slots = NP * K + NL * K2
+    NLV = NL if lm_rows is None else lm_rows
+    slots = NP * K + NLV * K2
     build = slots * 110.0 + NO * 700.0 + NL * 30.0  # + 2x2 inversions
     matvec = (
         12.0 * NP * K  # Bp einsum [3x2 block x vec, mul+add]
-        + 12.0 * NL * K2  # Bl einsum
+        + 12.0 * NLV * K2  # Bl einsum
         + 8.0 * NL  # Hll_inv apply
         + 18.0 * NP  # Hpp_diag apply
         + 36.0 * NO  # odometry couplings
@@ -89,8 +99,9 @@ def packed_outer_model(
     flops = build + cg_iters * matvec
 
     f4 = 4.0
-    b_blocks = (6.0 * NP * K + 6.0 * NL * K2) * f4  # Bp + Bl re-read
-    gathers = (3.0 * NL * K2 + 2.0 * NP * K) * f4  # xg / wg rows
+    # Bp + Bl re-read each CG iteration; 2 bytes/elt when stored bf16
+    b_blocks = (6.0 * NP * K + 6.0 * NLV * K2) * coupling_bytes
+    gathers = (3.0 * NLV * K2 + 2.0 * NP * K) * f4  # xg / wg rows
     vectors = (9.0 * NP + 4.0 * NL + 8.0 * NP) * f4
     bytes_ = slots * 16.0 * f4 + cg_iters * (b_blocks + gathers + vectors)
     return flops, bytes_

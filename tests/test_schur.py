@@ -148,3 +148,25 @@ def test_inv_helpers(rng):
         np.linalg.inv(A3),
         rtol=1e-2, atol=1e-3,
     )
+
+
+def test_pcg_breakdown_safe_indefinite_preconditioner(rng):
+    """An indefinite preconditioner must stop PCG early with a finite
+    iterate, never the max(pAp, tiny) -> inf -> NaN cascade (the failure
+    mode that silently no-opped the 10k+ scale solves; PERF.md)."""
+    n = 64
+    a = jnp.asarray(rng.standard_normal((3 * n, 3 * n)), jnp.float32)
+    A = a @ a.T + 3.0 * jnp.eye(3 * n, dtype=jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    matvec = lambda x: (A @ x.reshape(-1)).reshape(n, 3)
+    # preconditioner with a negative eigenvalue
+    bad = lambda r: r.at[0, 0].set(-5.0 * r[0, 0])
+    x, k, rel = schur.pcg(matvec, rhs, bad, 50, 1e-6)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert int(k) < 50  # stopped early, not burned to the cap on NaNs
+
+    # sanity: a good preconditioner still converges to the solution
+    good = lambda r: r / jnp.diag(A).reshape(n, 3)
+    x2, k2, rel2 = schur.pcg(matvec, rhs, good, 500, 1e-6)
+    ref = jnp.linalg.solve(A, rhs.reshape(-1)).reshape(n, 3)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref), atol=1e-3)

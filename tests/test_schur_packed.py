@@ -150,10 +150,12 @@ def test_cg_warm_start_converges(full_ig):
     c_c = float(np.asarray(s_c["chi2_robust"])[-1])
     assert abs(c_w - c_c) / c_c < 0.02, (c_w, c_c)
     # warm start must not use (meaningfully) more total inner iterations;
-    # small slack keeps this robust to f32 summation-order differences
-    assert int(np.asarray(s_w["cg_iters"]).sum()) <= 2 + int(
-        np.asarray(s_c["cg_iters"]).sum()
-    )
+    # proportional slack keeps this robust to f32 summation-order
+    # differences (near-converged systems sit right at the CG stopping
+    # threshold, so a reordered reduction can shift counts by ~1/outer)
+    warm = int(np.asarray(s_w["cg_iters"]).sum())
+    cold = int(np.asarray(s_c["cg_iters"]).sum())
+    assert warm <= 1.05 * cold + 2, (warm, cold)
 
 
 def test_packed_non_chain_direct(mini_ig):
@@ -209,3 +211,142 @@ def test_packed_loop_closures_match_flat():
         np.asarray(s_f["chi2_robust"], np.float64),
         rtol=2e-3,
     )
+
+
+def test_hot_landmark_split_blocks_match_nosplit(full_ig):
+    """Virtual-row splitting is a pure layout change: same assembled blocks.
+
+    The reference data's landmark observation counts are heavy-tailed
+    (max 60, mean ~15), so a forced cap of 8 splits aggressively; the
+    assembled normal-equation blocks must match the unsplit grid to f32
+    summation-order level.
+    """
+    g, _ = build_graph(full_ig, init="triangulate")
+    pk0, m0 = pack_edges(g, split_lm=None)
+    pk8, m8 = pack_edges(g, split_lm=8)
+    assert pk0.l_virt is None and pk8.l_virt is not None
+    assert pk8.K2 == 8 and m8.n_virt_rows > g.n_landmarks
+    # every edge appears exactly once in the split grid too
+    assert int((np.asarray(pk8.l_omega) > 0).sum()) == g.n_bearing
+    cfg = SolverConfig()
+    b0, s0 = schur_packed.build_packed_blocks(g, pk0, cfg, cfg.damping)
+    b8, s8 = schur_packed.build_packed_blocks(g, pk8, cfg, cfg.damping)
+    for name in ("Hpp_diag", "Hll_inv", "bp", "bl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b8, name)), np.asarray(getattr(b0, name)),
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        float(s8["chi2_robust"]), float(s0["chi2_robust"]), rtol=1e-5
+    )
+
+
+def test_hot_landmark_split_solve_matches_nosplit(full_ig):
+    """Full linear solve (matvec + back-substitution) parity under split."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    cfg = SolverConfig(
+        linear_solver="schur_cg", cg_iters=200, cg_tol=1e-6,
+        preconditioner="block_jacobi",
+    )
+    pk0, _ = pack_edges(g, split_lm=None)
+    pk8, _ = pack_edges(g, split_lm=8)
+    dp0, dl0, _, ok0 = schur_packed.schur_packed_build_and_solve(
+        g, pk0, cfg, cfg.damping
+    )
+    dp8, dl8, _, ok8 = schur_packed.schur_packed_build_and_solve(
+        g, pk8, cfg, cfg.damping
+    )
+    assert bool(ok0) and bool(ok8)
+    a, b = np.asarray(dp8).ravel(), np.asarray(dp0).ravel()
+    assert np.linalg.norm(a - b) / np.linalg.norm(b) < 1e-3
+    a, b = np.asarray(dl8).ravel(), np.asarray(dl0).ravel()
+    assert np.linalg.norm(a - b) / np.linalg.norm(b) < 1e-3
+
+
+def test_auto_split_cap_selection(full_ig):
+    """"auto" splits the reference data (heavy tail) and declines on a
+    uniform distribution."""
+    from boslam.graph.packed import _choose_split_cap
+
+    g, _ = build_graph(full_ig, init="triangulate")
+    pk, meta = pack_edges(g, split_lm="auto")
+    assert meta.lm_split_cap is not None and pk.l_virt is not None
+    # splitting must actually shrink the grid
+    assert pk.l_pose.size < pack_edges(g, split_lm=None)[0].l_pose.size
+    # uniform counts: no cap beats the plain layout materially
+    assert _choose_split_cap(np.full(1000, 12)) is None
+
+
+def test_split_with_loop_closures_end_to_end():
+    """Forced split + general odometry: whole solve matches the unsplit
+    packed solve on a chain + loop-closure graph."""
+    ig, _ = generate_sequence(150, 70, seed=11, loop_closures=8)
+    g, _ = build_graph(ig, init="triangulate")
+    cfg = SolverConfig(
+        linear_solver="schur_cg", iters=5, cg_iters=100, cg_tol=1e-6,
+        preconditioner="block_jacobi",
+    )
+    import functools
+    import jax
+
+    def run(split):
+        pk, _ = pack_edges(g, split_lm=split)
+        gg, dp = g, jnp.zeros((g.n_poses, 3), g.poses.dtype)
+        chis = []
+        step = jax.jit(functools.partial(schur_packed.packed_gn_step, cfg=cfg))
+        for _ in range(cfg.iters):
+            gg, st, dp = step(gg, pk, dp_prev=dp)
+            chis.append(float(st["chi2_robust"]))
+        return gg, np.asarray(chis)
+
+    g0, c0 = run(None)
+    g8, c8 = run(8)
+    np.testing.assert_allclose(c8, c0, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(g8.poses), np.asarray(g0.poses), atol=2e-3
+    )
+
+
+def test_bf16_coupling_blocks_error_budget(full_ig):
+    """bf16-stored coupling blocks (f32 accumulate) stay inside the
+    inexact-Newton error budget: same optimum, perturbed-S linear solves
+    well within the CG truncation already tolerated at cg_tol."""
+    g, _ = build_graph(full_ig, init="triangulate")
+    pk, _ = pack_edges(g)
+    cfg32 = SolverConfig(
+        linear_solver="schur_cg", cg_iters=200, cg_tol=1e-6,
+        preconditioner="block_jacobi",
+    )
+    cfg16 = cfg32.replace(coupling_dtype="bfloat16")
+    b16, _ = schur_packed.build_packed_blocks(g, pk, cfg16, cfg16.damping)
+    assert b16.Bp.dtype == jnp.bfloat16 and b16.Bl.dtype == jnp.bfloat16
+    # diagonal/rhs/preconditioner inputs stay f32
+    assert b16.Hpp_diag.dtype == jnp.float32
+    assert b16.Hll_inv.dtype == jnp.float32
+
+    dp32, dl32, _, ok32 = schur_packed.schur_packed_build_and_solve(
+        g, pk, cfg32, cfg32.damping
+    )
+    dp16, dl16, _, ok16 = schur_packed.schur_packed_build_and_solve(
+        g, pk, cfg16, cfg16.damping
+    )
+    assert bool(ok32) and bool(ok16)
+    # the bf16 path's CG tolerance is floored at its matvec noise level,
+    # so its solve is a (coarser) truncated-Newton step — it must still be
+    # a well-aligned descent direction
+    a, b = np.asarray(dp16).ravel(), np.asarray(dp32).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.95, cos
+
+    # whole-solve: both reach the same optimum
+    run = SolverConfig(linear_solver="schur_cg", iters=20, cg_iters=150)
+    _, s32 = solve_packed(g, run)
+    _, s16 = solve_packed(g, run.replace(coupling_dtype="bfloat16"))
+    c32 = float(np.asarray(s32["chi2_robust"])[-1])
+    c16 = float(np.asarray(s16["chi2_robust"])[-1])
+    assert abs(c16 - c32) / c32 < 0.02, (c16, c32)
+    # the floored tolerance must stop CG at the noise floor instead of
+    # burning the cap against rounding fiction
+    i32 = int(np.asarray(s32["cg_iters"]).sum())
+    i16 = int(np.asarray(s16["cg_iters"]).sum())
+    assert i16 <= 1.1 * i32 + 5, (i16, i32)

@@ -115,3 +115,35 @@ def test_sharded_packed_btridiag_warm():
         rtol=5e-3,
     )
     assert np.all(np.asarray(s_n["spd_ok"]))
+
+
+def test_sharded_packed_with_lm_split():
+    """Hot-landmark splitting composes with the mesh layout: the [NLV, K2]
+    grid shards along K2, the virt->landmark segment-sum runs per shard,
+    and the psum completes it.  Parity vs single-device split solve."""
+    ig, _ = generate_sequence(200, 90, seed=7, loop_closures=4)
+    g, _ = build_graph(ig, init="triangulate")
+    pk, meta = pack_edges(g, split_lm=4)  # force an aggressive split
+    assert pk.l_virt is not None and meta.n_virt_rows > g.n_landmarks
+
+    import functools
+    import jax.numpy as jnp
+    from boslam.solver.schur_packed import packed_gn_step
+
+    gg, dp = g, jnp.zeros((g.n_poses, 3), g.poses.dtype)
+    step = jax.jit(functools.partial(packed_gn_step, cfg=CFG))
+    c_1 = []
+    for _ in range(CFG.iters):
+        gg, st, dp = step(gg, pk, dp_prev=dp)
+        c_1.append(float(st["chi2_robust"]))
+    c_1 = np.asarray(c_1, np.float64)
+
+    mesh = make_mesh(8)
+    gs, pks = shard_packed(g, pk, mesh)
+    g_n, s_n = make_sharded_packed_solve(mesh, CFG, pks)(gs, pks)
+    c_n = np.asarray(s_n["chi2_robust"], np.float64)
+    assert _rel(c_n[0], c_1[0]) < 1e-5
+    np.testing.assert_allclose(c_n, c_1, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_n.poses), np.asarray(gg.poses), atol=2e-3
+    )

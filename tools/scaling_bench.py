@@ -93,7 +93,8 @@ def config_1_2_3(which: int):
     }
 
 
-def config_4_5(which: int, poses_override=None):
+def config_4_5(which: int, poses_override=None, lm_split="auto",
+               coupling_dtype="float32"):
     import jax
     import numpy as np
 
@@ -115,9 +116,14 @@ def config_4_5(which: int, poses_override=None):
         cg_tol=1e-4,
         preconditioner="btridiag",
         cg_warm_start=True,
+        coupling_dtype=coupling_dtype,
     )
-    pk, pmeta = pack_edges(graph)
-    log(f"packed: K={pk.K} K2={pk.K2} fill={pmeta.fill_pose:.2f}/{pmeta.fill_lm:.2f}")
+    pk, pmeta = pack_edges(graph, split_lm=lm_split)
+    log(
+        f"packed: K={pk.K} K2={pk.K2} rows={pk.l_pose.shape[0]} "
+        f"fill={pmeta.fill_pose:.2f}/{pmeta.fill_lm:.2f} "
+        f"split_cap={pmeta.lm_split_cap}"
+    )
     iters = 5
 
     step = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
@@ -140,7 +146,9 @@ def config_4_5(which: int, poses_override=None):
     cg_mean = float(np.mean([int(c) for c in cg_traces]))
 
     flops, bytes_ = packed_outer_model(
-        graph.n_poses, graph.n_landmarks, pk.K, pk.K2, graph.n_odometry, cg_mean
+        graph.n_poses, graph.n_landmarks, pk.K, pk.K2, graph.n_odometry,
+        cg_mean, lm_rows=pk.l_pose.shape[0],
+        coupling_bytes=2.0 if coupling_dtype == "bfloat16" else 4.0,
     )
     roof = roofline_report(flops, bytes_, best / iters)
 
@@ -164,14 +172,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--poses-override", type=int, default=None)
+    ap.add_argument("--lm-split", default="auto",
+                    help="landmark-grid slot cap ('auto' | 0 = off | int)")
+    ap.add_argument("--coupling-dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     args = ap.parse_args()
+    lm_split = args.lm_split if args.lm_split == "auto" else int(args.lm_split)
 
     import jax
 
     log(f"devices: {jax.devices()}")
     for c in args.configs:
         t0 = time.time()
-        rec = config_1_2_3(c) if c <= 3 else config_4_5(c, args.poses_override)
+        rec = (
+            config_1_2_3(c)
+            if c <= 3
+            else config_4_5(
+                c, args.poses_override, lm_split, args.coupling_dtype
+            )
+        )
         rec["wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rec), flush=True)
 
