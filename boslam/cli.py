@@ -23,6 +23,18 @@ import sys
 import time
 
 
+def _lm_split_arg(value: str):
+    """argparse type for --lm-split: 'auto' or an int cap (0 disables)."""
+    if value == "auto":
+        return value
+    try:
+        return int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'auto' or an integer slot cap, got {value!r}"
+        )
+
+
 def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--iters", type=int, default=50, help="GN/LM iterations (reference: 50 = 'definitely converged', README.md:23)")
     p.add_argument("--optimizer", choices=["gn", "lm"], default="gn")
@@ -40,7 +52,7 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
                    help="packed path: storage dtype of the Schur coupling "
                         "blocks (bfloat16 halves CG-matvec HBM traffic; "
                         "f32 accumulate)")
-    p.add_argument("--lm-split", default="auto",
+    p.add_argument("--lm-split", default="auto", type=_lm_split_arg,
                    help="packed path: landmark-grid slot cap; hot landmarks "
                         "split into virtual rows ('auto' | 0 = off | int cap)")
     p.add_argument("--sharded", action="store_true", help="shard edges over all devices")
@@ -62,7 +74,7 @@ def _cfg_from_args(args):
         cg_iters=args.cg_iters,
         reference_kernel_quirk=not args.textbook_kernel,
         use_autodiff_jacobians=args.autodiff_jacobians,
-        lm_split=args.lm_split if args.lm_split == "auto" else int(args.lm_split),
+        lm_split=args.lm_split,
         coupling_dtype=args.coupling_dtype,
     )
 
@@ -133,7 +145,9 @@ def cmd_solve(args) -> int:
     if args.sharded and args.packed:
         from boslam.parallel.sharded_packed import sharded_packed_solve
 
-        g2, stats = jax.block_until_ready(sharded_packed_solve(graph, cfg))
+        g2, stats = jax.block_until_ready(
+            sharded_packed_solve(graph, cfg, lam0=lam0)
+        )
     elif args.sharded:
         from boslam.parallel.sharded import sharded_solve
 
@@ -141,7 +155,7 @@ def cmd_solve(args) -> int:
     elif args.packed:
         from boslam.solver.optimizer import solve_packed
 
-        g2, stats = jax.block_until_ready(solve_packed(graph, cfg))
+        g2, stats = jax.block_until_ready(solve_packed(graph, cfg, lam0=lam0))
     else:
         from boslam.solver.optimizer import solve
 

@@ -12,6 +12,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+# Relative noise floor that bfloat16-stored coupling blocks put under the
+# Schur matvec (~2^-8 per-element rounding): with coupling_dtype="bfloat16"
+# the CG tolerance is clamped up to this — the true residual cannot drop
+# below it, so asking for less just runs CG to the cap against rounding
+# fiction.  Surfaced per-solve as stats["cg_tol_effective"].
+BF16_CG_TOL_FLOOR = 4e-3
+
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:

@@ -36,5 +36,24 @@ def initialize_distributed(**kwargs) -> None:
     On TPU pods the coordinator/process env is auto-detected; callers on
     multi-host slices call this once before building a mesh so
     ``jax.devices()`` spans all hosts (SURVEY §5 distributed backend).
+    Exercised for real (2-process CPU cluster, cross-process psum parity)
+    by tools/distributed_smoke.py / tests/test_distributed.py.
     """
     jax.distributed.initialize(**kwargs)
+
+
+def put_sharded(x, sharding):
+    """Place a host array under ``sharding`` — multi-process safe.
+
+    Single process: plain ``jax.device_put``.  Multi-process (after
+    ``initialize_distributed``): every process holds the same full host
+    array, and each builds only its addressable shards via
+    ``jax.make_array_from_callback`` — a device_put to a sharding that
+    spans non-addressable devices is not allowed.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

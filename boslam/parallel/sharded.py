@@ -79,11 +79,13 @@ def _graph_specs(axis_name: str) -> FactorGraph:
 
 def shard_graph(g: FactorGraph, mesh: Mesh) -> FactorGraph:
     """Place a (padded) graph on the mesh with the canonical layout."""
+    from boslam.parallel.mesh import put_sharded
+
     axis_name = mesh.axis_names[0]
     g = pad_edges(g, mesh.size)
     specs = _graph_specs(axis_name)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put_sharded(x, NamedSharding(mesh, s)),
         g,
         specs,
     )

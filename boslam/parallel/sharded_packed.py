@@ -39,7 +39,6 @@ from boslam.config import SolverConfig
 from boslam.graph.data import FactorGraph
 from boslam.graph.packed import PackedEdges, pack_edges
 from boslam.parallel.sharded import _graph_specs, pad_edges
-from boslam.solver.schur_packed import packed_gn_step
 
 
 def pad_packed(pk: PackedEdges, k: int) -> PackedEdges:
@@ -86,28 +85,39 @@ def shard_packed(
     g: FactorGraph, pk: PackedEdges, mesh: Mesh
 ) -> tuple[FactorGraph, PackedEdges]:
     """Place (graph, packed edges) on the mesh with the canonical layout."""
+    from boslam.parallel.mesh import put_sharded
+
     axis_name = mesh.axis_names[0]
     g = pad_edges(g, mesh.size)
     pk = pad_packed(pk, mesh.size)
     gs = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put_sharded(x, NamedSharding(mesh, s)),
         g,
         _graph_specs(axis_name),
     )
     pks = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put_sharded(x, NamedSharding(mesh, s)),
         pk,
         _packed_specs(pk, axis_name),
     )
     return gs, pks
 
 
-def make_sharded_packed_solve(mesh: Mesh, cfg: SolverConfig, pk_template: PackedEdges):
+def make_sharded_packed_solve(
+    mesh: Mesh,
+    cfg: SolverConfig,
+    pk_template: PackedEdges,
+    lam0: Optional[float] = None,
+):
     """Build the jitted multi-device packed solve: (graph, pk) -> (graph', stats).
 
     ``pk_template`` only supplies the static fields (chain classification)
     for the spec pytree; pass the actual sharded arrays at call time.
+    Dispatches GN or LM through packed_solve_loop — LM's accept/reject
+    cost test psums across the shards (VERDICT r2 #1).
     """
+    from boslam.solver.optimizer import packed_solve_loop
+
     axis_name = mesh.axis_names[0]
     gspecs = _graph_specs(axis_name)
     pspecs = _packed_specs(pk_template, axis_name)
@@ -120,23 +130,17 @@ def make_sharded_packed_solve(mesh: Mesh, cfg: SolverConfig, pk_template: Packed
         out_specs=(gspecs, P()),
     )
     def _solve(graph: FactorGraph, pk: PackedEdges):
-        dp0 = jnp.zeros((graph.n_poses, 3), graph.poses.dtype)
-
-        def body(carry, _):
-            g, dp_prev = carry
-            g, stats, dp = packed_gn_step(g, pk, cfg, dp_prev, axis_name)
-            return (g, dp), stats
-
-        (final, _), stats = jax.lax.scan(
-            body, (graph, dp0), None, length=cfg.iters
-        )
-        return final, stats
+        l0 = None if lam0 is None else jnp.asarray(lam0, graph.poses.dtype)
+        return packed_solve_loop(graph, pk, cfg, axis_name=axis_name, lam0=l0)
 
     return _solve
 
 
 def sharded_packed_solve(
-    g: FactorGraph, cfg: SolverConfig, mesh: Optional[Mesh] = None
+    g: FactorGraph,
+    cfg: SolverConfig,
+    mesh: Optional[Mesh] = None,
+    lam0: Optional[float] = None,
 ) -> tuple[FactorGraph, dict]:
     """Convenience one-shot: pack, mesh over all devices, shard, solve."""
     if mesh is None:
@@ -145,5 +149,5 @@ def sharded_packed_solve(
         mesh = make_mesh()
     pk, _ = pack_edges(g, split_lm=cfg.lm_split)
     gs, pks = shard_packed(g, pk, mesh)
-    out, stats = make_sharded_packed_solve(mesh, cfg, pks)(gs, pks)
+    out, stats = make_sharded_packed_solve(mesh, cfg, pks, lam0=lam0)(gs, pks)
     return out, stats

@@ -154,19 +154,66 @@ def solve(
     return _solve_jit(graph, cfg, lam)
 
 
-def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, dict]:
-    """GN solve on the dual-packed layout (large-scale path, PERF.md).
+def packed_solve_loop(
+    graph: FactorGraph,
+    pk,
+    cfg: SolverConfig,
+    axis_name: str | None = None,
+    lam0: jnp.ndarray | None = None,
+) -> tuple[FactorGraph, dict]:
+    """Scan ``cfg.iters`` packed optimizer steps (GN or LM) on device.
 
-    Packs edges host-side once, then scans the packed GN step.  Handles
+    The packed mirror of solve_loop: both optimizers run natively on the
+    dual-packed Schur+PCG layout (VERDICT r2 #1 — LM accept/reject at
+    BASELINE configs 4-5 scale).  ``lam0`` restores the LM damping
+    (checkpoint resume); ``axis_name`` enables the sharded collectives.
+    """
+    from boslam.solver.schur_packed import packed_gn_step, packed_lm_step
+
+    dp0 = jnp.zeros((graph.n_poses, 3), graph.poses.dtype)
+    if cfg.optimizer == "gn":
+
+        def body(carry, _):
+            g, dp_prev = carry
+            g, stats, dp = packed_gn_step(g, pk, cfg, dp_prev, axis_name)
+            return (g, dp), stats
+
+        (final, _), stats = jax.lax.scan(
+            body, (graph, dp0), None, length=cfg.iters
+        )
+        return final, stats
+
+    elif cfg.optimizer == "lm":
+
+        def body(carry, _):
+            g, lam, dp_prev = carry
+            g, lam, stats, dp = packed_lm_step(
+                g, pk, cfg, lam, dp_prev, axis_name
+            )
+            return (g, lam, dp), stats
+
+        if lam0 is None:
+            lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
+        (final, _, _), stats = jax.lax.scan(
+            body, (graph, lam0, dp0), None, length=cfg.iters
+        )
+        return final, stats
+
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def solve_packed(
+    graph: FactorGraph, cfg: SolverConfig, lam0: float | None = None
+) -> tuple[FactorGraph, dict]:
+    """GN or LM solve on the dual-packed layout (large-scale path, PERF.md).
+
+    Packs edges host-side once, then scans the packed step.  Handles
     arbitrary odometry topologies (chain prefix via shifts, loop closures
-    via a small segment-sum — framework/observation.hpp:43-47); only the
-    LM optimizer falls back to the flat solver.
+    via a small segment-sum — framework/observation.hpp:43-47).  Both
+    optimizers run natively on this layout; ``lam0`` restores LM damping
+    on resume.
     """
     from boslam.graph.packed import pack_edges
-    from boslam.solver.schur_packed import packed_gn_step
-
-    if cfg.optimizer != "gn":
-        return solve(graph, cfg)
 
     # "auto" == "take": measured on TPU (PERF.md), fused XLA gathers beat
     # the windowed kernel; "windowed" stays available as an explicit opt-in.
@@ -182,19 +229,15 @@ def solve_packed(graph: FactorGraph, cfg: SolverConfig) -> tuple[FactorGraph, di
         g_in, _perm, inv = reorder_landmarks_by_pose(graph)
     pk, meta = pack_edges(g_in, windows=use_windows, split_lm=cfg.lm_split)
 
+    lam = jnp.asarray(
+        cfg.lm_lambda0 if lam0 is None else lam0, g_in.poses.dtype
+    )
+
     @partial(jax.jit, static_argnames=("cfg",))
-    def _solve(g, pk, cfg):
-        dp0 = jnp.zeros((g.n_poses, 3), g.poses.dtype)
+    def _solve(g, pk, cfg, lam):
+        return packed_solve_loop(g, pk, cfg, lam0=lam)
 
-        def body(carry, _):
-            g, dp_prev = carry
-            g, stats, dp = packed_gn_step(g, pk, cfg, dp_prev)
-            return (g, dp), stats
-
-        (final, _), stats = jax.lax.scan(body, (g, dp0), None, length=cfg.iters)
-        return final, stats
-
-    final, stats = _solve(g_in, pk, cfg)
+    final, stats = _solve(g_in, pk, cfg, lam)
     if inv is not None:
         final = graph.with_state(final.poses, final.landmarks[jnp.asarray(inv)])
     return final, stats

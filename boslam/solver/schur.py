@@ -257,7 +257,11 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     or a callable r -> M^{-1} r (e.g. the cyclic-reduction chain solve).
     ``x0`` warm-starts the iteration (default zeros).  Fixed-shape
     while_loop (XLA-friendly); terminates on relative residual or iteration
-    cap.  Returns (x, n_iters, final_rel_residual2).
+    cap.  Returns (x, n_iters, final_rel_residual2, breakdown) — ``breakdown``
+    is True when the iteration stopped on non-positive curvature or an
+    indefinite preconditioner apply rather than on tolerance/cap, so scale
+    runs can detect a poisoned preconditioner instead of inferring it from
+    cg_rel_res2.
 
     Breakdown-safe (truncated/Steihaug CG): if f32 roundoff surfaces
     non-positive curvature (p^T A p <= 0) the step is skipped and the
@@ -309,10 +313,10 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     # An indefinite FIRST preconditioner apply (rz0 <= 0 with a nonzero
     # residual) means z0 is not a descent direction: stop immediately at x0.
     stop0 = jnp.logical_and(rz0 <= 0, dot(r0, r0) / b2 > tol * tol)
-    x, r, _, _, k, _, _ = jax.lax.while_loop(
+    x, r, _, _, k, _, stop = jax.lax.while_loop(
         cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0, stop0)
     )
-    return x, k, dot(r, r) / b2
+    return x, k, dot(r, r) / b2, stop
 
 
 def dense_reduced_system(blocks: SchurBlocks, g: FactorGraph):
@@ -406,10 +410,14 @@ def schur_build_and_solve(
 
         precond_inv = _inv3x3(s_diag_blocks(blocks, g, axis_name=axis_name))
         matvec = lambda x: s_matvec(blocks, g, x, mask, axis_name=axis_name)
-        dp, n_iters, rel_res2 = pcg(
+        dp, n_iters, rel_res2, breakdown = pcg(
             matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol
         )
-        extra = {"cg_iters": n_iters, "cg_rel_res2": rel_res2}
+        extra = {
+            "cg_iters": n_iters,
+            "cg_rel_res2": rel_res2,
+            "cg_breakdown": breakdown,
+        }
     dp = dp * mask  # exact zero delta on the gauge pose (solver.cpp:87-94)
 
     # Back-substitute landmarks: dl = Hll^-1 (-bl - Hlp dp).

@@ -380,10 +380,14 @@ def schur_packed_build_and_solve(
     # true residual cannot drop below it, so asking CG for less just runs
     # it to the cap against rounding fiction.  Clamp the tolerance to the
     # floor (inexact-Newton: outer GN converges for any fixed eta < 1).
+    from boslam.config import BF16_CG_TOL_FLOOR
+
     cg_tol = cfg.cg_tol
     if cfg.coupling_dtype == "bfloat16":
-        cg_tol = max(cg_tol, 4e-3)
-    dp, n_iters, rel_res2 = pcg(matvec, rhs, precond, cfg.cg_iters, cg_tol, x0)
+        cg_tol = max(cg_tol, BF16_CG_TOL_FLOOR)
+    dp, n_iters, rel_res2, breakdown = pcg(
+        matvec, rhs, precond, cfg.cg_iters, cg_tol, x0
+    )
     dp = dp * mask
 
     hlp_dp = _couple("lkij,lki->lj", blocks.Bl, _take(dp, pk.l_pose, pk.l_plan))
@@ -397,7 +401,91 @@ def schur_packed_build_and_solve(
     dl = jnp.where(ok, dl, jnp.zeros_like(dl))
     stats["cg_iters"] = n_iters
     stats["cg_rel_res2"] = rel_res2
+    # Breakdown (non-positive curvature / indefinite preconditioner) no
+    # longer NaNs out thanks to the truncated-CG guards — surface it so
+    # scale runs can detect a poisoned preconditioner (ADVICE r2).
+    stats["cg_breakdown"] = breakdown
+    # The bf16 noise-floor clamp is invisible to the user otherwise.
+    stats["cg_tol_effective"] = jnp.asarray(cg_tol, jnp.float32)
     return dp, dl, stats, ok
+
+
+def packed_robust_total(
+    g: FactorGraph,
+    pk: PackedEdges,
+    cfg: SolverConfig,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Total robust cost evaluated on the packed layout (no Jacobians).
+
+    Bearing chi2 from the pose-packed slot grid (padding slots carry
+    omega = 0 and contribute nothing), odometry from the edge arrays —
+    the packed mirror of optimizer._robust_total.  Under sharding the
+    grids/edges are shards, so the sum is a local partial completed with
+    one psum.  Used by the LM accept/reject test (slam/solver.cpp:64-69
+    damping semantics promoted to a trial step, BASELINE config 3).
+    """
+    NP_ = g.n_poses
+    p_slot = jnp.broadcast_to(g.poses[:, None, :], (NP_, pk.p_lm.shape[1], 3))
+    l_slot = _take(g.landmarks, pk.p_lm, pk.p_plan)
+    err = R.bearing_error_from(p_slot, l_slot, pk.p_meas)
+    bchi2 = pk.p_omega * err * err
+    oe = R.odometry_error(g.poses, g.o_src, g.o_dst, g.o_meas)
+    ochi2 = jnp.einsum("ei,eij,ej->e", oe, g.o_omega, oe)
+    total = jnp.sum(robust_cost(bchi2, cfg) * (pk.p_omega > 0)) + jnp.sum(
+        robust_cost(ochi2, cfg) * (ochi2 > 0)
+    )
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+    return total
+
+
+def packed_lm_step(
+    g: FactorGraph,
+    pk: PackedEdges,
+    cfg: SolverConfig,
+    lam,
+    dp_prev=None,
+    axis_name: str | None = None,
+):
+    """One LM trial on the packed layout: (g', lam', stats, dp).
+
+    Solve with trial damping ``lam``; accept the candidate iff the robust
+    cost decreases (and the solve stayed finite), then scale lam down
+    (accept) / up (reject) — the same schedule as optimizer.lm_step, so
+    ``--packed --optimizer lm`` matches the flat LM path (VERDICT r2 #1:
+    previously a silent GN-only fallback).  ``cost_old`` comes free from
+    the build stats (already psum-completed under sharding).  The returned
+    ``dp`` warm-starts the next trial's CG only when this one was accepted
+    (a rejected direction is stale at the higher lambda).
+    """
+    from boslam.geometry.se2 import boxplus_state
+
+    x0 = dp_prev if cfg.cg_warm_start else None
+    dp, dl, stats, ok = schur_packed_build_and_solve(
+        g, pk, cfg, lam, x0, axis_name
+    )
+    cand_poses, cand_landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
+    cand = g.with_state(cand_poses, cand_landmarks)
+    cost_old = stats["chi2_robust"]
+    cost_new = packed_robust_total(cand, pk, cfg, axis_name)
+    accept = jnp.logical_and(cost_new < cost_old, ok)
+
+    poses = jnp.where(accept, cand.poses, g.poses)
+    landmarks = jnp.where(accept, cand.landmarks, g.landmarks)
+    new_lam = jnp.where(
+        accept,
+        jnp.maximum(lam * cfg.lm_down, cfg.lm_lambda_min),
+        jnp.minimum(lam * cfg.lm_up, cfg.lm_lambda_max),
+    )
+
+    stats = dict(stats)
+    stats["spd_ok"] = ok
+    stats["accepted"] = accept
+    stats["damping"] = jnp.asarray(lam, g.poses.dtype)
+    stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
+    dp_next = jnp.where(accept, dp, jnp.zeros_like(dp))
+    return g.with_state(poses, landmarks), new_lam, stats, dp_next
 
 
 def packed_gn_step(

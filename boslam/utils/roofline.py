@@ -103,8 +103,40 @@ def packed_outer_model(
     b_blocks = (6.0 * NP * K + 6.0 * NLV * K2) * coupling_bytes
     gathers = (3.0 * NLV * K2 + 2.0 * NP * K) * f4  # xg / wg rows
     vectors = (9.0 * NP + 4.0 * NL + 8.0 * NP) * f4
+    if NLV > NL:
+        # Hot-landmark splitting: the z payload is produced per VIRTUAL row
+        # (NLV x 2 partials written) then segment-summed into NL rows
+        # (read + write) each matvec — extra traffic the 1:1 layout lacks.
+        vectors += (2.0 * NLV + 2.0 * NLV + 2.0 * NL) * f4
     bytes_ = slots * 16.0 * f4 + cg_iters * (b_blocks + gathers + vectors)
     return flops, bytes_
+
+
+def useful_step_flops(
+    NP: int, NL: int, NB: int, NO: int, cg_iters: int = 0
+) -> float:
+    """FLOPs the ALGORITHM needs for one GN step, block-sparse-counted.
+
+    This is the honest numerator for "useful-FLOP utilization" (VERDICT r2
+    weak #1): the dense one-hot matmul assembly burns 2*NB*N^2 FLOPs on a
+    5-nonzeros-per-row design matrix, and counting those flatters MFU by
+    ~250x.  Here we count only: per-edge residual/Jacobian math, the
+    block outer products (Hpp 3x3 + Hll 2x2 + B 3x2 + b terms per bearing
+    edge; 3x3 blocks per odometry edge), the per-landmark 2x2 eliminations,
+    and the reduced-system work — ``cg_iters`` PCG matvecs when given,
+    else a (3*NP)^3/3 dense Cholesky of S (the exact path's irreducible
+    factorization; block-sparse LDLT would be less still, but fill-in
+    makes that count graph-dependent).
+    """
+    edge_math = NB * 150.0 + NO * 700.0
+    outer = NB * 2.0 * (9 + 4 + 6 + 5) + NO * 2.0 * (3 * 9 + 6)
+    elim = NL * 30.0  # 2x2 inverses + rhs
+    if cg_iters > 0:
+        matvec = 24.0 * NB + 8.0 * NL + 18.0 * NP + 36.0 * NO + 70.0 * NP
+        reduce_ = cg_iters * matvec
+    else:
+        reduce_ = (3.0 * NP) ** 3 / 3
+    return edge_math + outer + elim + reduce_
 
 
 def roofline_report(

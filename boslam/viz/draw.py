@@ -25,6 +25,7 @@ LM_COLOR = "#0000cc"  # blue square
 BEARING_COLOR = "#00aa00"  # green ray
 ODOM_COLOR = "#800080"  # purple segment
 BEARING_RAY_LEN_FRAC = 50.0 / 800.0  # 50 px on the 800 px canvas (:11,:122)
+ODOM_TICK_LEN_FRAC = 4.0 / 800.0  # ODOMETRY_LEN = 4 px (draw_utils.cpp:14)
 
 
 def render_state(
@@ -104,8 +105,17 @@ def render_state(
         c, sn = np.cos(s[:, 2]), np.sin(s[:, 2])
         dx = c * o_meas[:, 0] - sn * o_meas[:, 1]
         dy = sn * o_meas[:, 0] + c * o_meas[:, 1]
-        for (x, y), ddx, ddy in zip(s[:, :2], dx, dy):
+        # heading tick at the predicted destination (draw_utils.cpp:151:
+        # draw_line_ray(dest, ODOMETRY_LEN, src_theta + trasf.z, ...))
+        tick = 2 * bound * ODOM_TICK_LEN_FRAC
+        dth = s[:, 2] + o_meas[:, 2]
+        for (x, y), ddx, ddy, a in zip(s[:, :2], dx, dy, dth):
             ax.plot([x, x + ddx], [y, y + ddy], color=ODOM_COLOR, lw=0.8, zorder=2)
+            ax.plot(
+                [x + ddx, x + ddx + tick * np.cos(a)],
+                [y + ddy, y + ddy + tick * np.sin(a)],
+                color=ODOM_COLOR, lw=0.8, zorder=2,
+            )
 
     # landmarks: blue squares (draw_utils.cpp:84-101)
     if len(landmarks):

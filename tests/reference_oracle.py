@@ -8,9 +8,11 @@ solve in float64 standing in for SimplicialLDLT, and per-element boxplus
 (framework/state.cpp:69-80).  The production JAX path must land on the same
 iterates to float32 tolerance.
 
-(The real C++ binary cannot be built here — no Eigen in the image — so this
-oracle encodes the reference's documented math instead, with every step
-cross-cited.)
+(The real C++ binary IS also built and run live — tools/refbench compiles
+the unmodified reference sources, and tests/test_cpp_parity.py checks the
+JAX path against it.  This float64 oracle complements that with a
+step-by-step iterate-level comparison the binary cannot provide, with every
+step cross-cited.)
 """
 
 from __future__ import annotations

@@ -129,7 +129,8 @@ def test_pcg_solves_spd_system(rng):
     matvec = lambda x: (Sj @ x.reshape(-1)).reshape(NP_, 3)
     diag = np.stack([S[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] for i in range(NP_)])
     pre = schur._inv3x3(jnp.asarray(diag))
-    x, k, res = schur.pcg(matvec, jnp.asarray(rhs.reshape(NP_, 3)), pre, 500, 1e-7)
+    x, k, res, brk = schur.pcg(matvec, jnp.asarray(rhs.reshape(NP_, 3)), pre, 500, 1e-7)
+    assert not bool(brk)
     np.testing.assert_allclose(np.asarray(x).ravel(), want, atol=5e-3)
 
 
@@ -161,12 +162,14 @@ def test_pcg_breakdown_safe_indefinite_preconditioner(rng):
     matvec = lambda x: (A @ x.reshape(-1)).reshape(n, 3)
     # preconditioner with a negative eigenvalue
     bad = lambda r: r.at[0, 0].set(-5.0 * r[0, 0])
-    x, k, rel = schur.pcg(matvec, rhs, bad, 50, 1e-6)
+    x, k, rel, brk = schur.pcg(matvec, rhs, bad, 50, 1e-6)
+    assert bool(brk)  # breakdown is surfaced, not silent (ADVICE r2)
     assert bool(jnp.all(jnp.isfinite(x)))
     assert int(k) < 50  # stopped early, not burned to the cap on NaNs
 
     # sanity: a good preconditioner still converges to the solution
     good = lambda r: r / jnp.diag(A).reshape(n, 3)
-    x2, k2, rel2 = schur.pcg(matvec, rhs, good, 500, 1e-6)
+    x2, k2, rel2, brk2 = schur.pcg(matvec, rhs, good, 500, 1e-6)
+    assert not bool(brk2)
     ref = jnp.linalg.solve(A, rhs.reshape(-1)).reshape(n, 3)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(ref), atol=1e-3)

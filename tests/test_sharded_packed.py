@@ -147,3 +147,25 @@ def test_sharded_packed_with_lm_split():
     np.testing.assert_allclose(
         np.asarray(g_n.poses), np.asarray(gg.poses), atol=2e-3
     )
+
+
+def test_sharded_packed_lm():
+    """LM accept/reject on the sharded packed path == single-device packed
+    LM (VERDICT r2 #1: config-3 semantics at config-5 scale).  The accept
+    decision is taken from psum-completed costs, so every device agrees."""
+    ig, _ = generate_sequence(120, 60, seed=9, loop_closures=4)
+    g, _ = build_graph(ig, init="triangulate")
+    cfg = CFG.replace(iters=8, optimizer="lm")
+    _, s_1 = solve_packed(g, cfg)
+    _, s_n = sharded_packed_solve(g, cfg, make_mesh(8))
+    c_1 = np.asarray(s_1["chi2_robust"], np.float64)
+    c_n = np.asarray(s_n["chi2_robust"], np.float64)
+    np.testing.assert_allclose(c_n, c_1, rtol=2e-3)
+    # identical accept/reject and lambda trajectories
+    np.testing.assert_array_equal(
+        np.asarray(s_n["accepted"]), np.asarray(s_1["accepted"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_n["damping"]), np.asarray(s_1["damping"]), rtol=1e-6
+    )
+    assert int(np.asarray(s_n["accepted"]).sum()) >= 5

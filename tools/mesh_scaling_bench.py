@@ -31,6 +31,64 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _hlo_collectives(mesh, cfg, gs, pks) -> dict:
+    """All-reduce bytes per build and per CG matvec, from compiled HLO."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from boslam.parallel.sharded import _graph_specs
+    from boslam.parallel.sharded_packed import _packed_specs
+    from boslam.solver import schur_packed
+
+    axis = mesh.axis_names[0]
+    gspecs = _graph_specs(axis)
+    pspecs = _packed_specs(pks, axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(gspecs, pspecs),
+             out_specs=P())
+    def one_build(g, pk):
+        blocks, stats = schur_packed.build_packed_blocks(
+            g, pk, cfg, cfg.damping, axis
+        )
+        # depend on every psum-completed aggregate or XLA DCEs its psum
+        return (
+            stats["chi2_robust"]
+            + jnp.sum(blocks.Hpp_diag)
+            + jnp.sum(blocks.Hll_inv)
+            + jnp.sum(blocks.bp)
+            + jnp.sum(blocks.bl)
+        )
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(gspecs, pspecs),
+             out_specs=P())
+    def build_plus_matvec(g, pk):
+        from boslam.solver.schur import _pose_mask
+
+        blocks, stats = schur_packed.build_packed_blocks(
+            g, pk, cfg, cfg.damping, axis
+        )
+        mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
+        x = jnp.ones((g.n_poses, 3), g.poses.dtype)
+        y = schur_packed.packed_s_matvec(blocks, pk, x, mask, axis)
+        return (
+            stats["chi2_robust"]
+            + jnp.sum(blocks.Hpp_diag)
+            + jnp.sum(blocks.Hll_inv)
+            + jnp.sum(blocks.bp)
+            + jnp.sum(blocks.bl)
+            + y.sum()
+        )
+
+    from boslam.utils.hlo import collective_bytes
+
+    b = collective_bytes(one_build, gs, pks)["total"]
+    bm = collective_bytes(build_plus_matvec, gs, pks)["total"]
+    return {"build_bytes": b, "matvec_bytes": max(0, bm - b)}
+
+
 def run_one(n_devices: int, n_poses: int, iters: int, cg_iters: int) -> dict:
     """Measure the sharded packed solve on an n-device mesh (this process)."""
     import jax
@@ -77,13 +135,22 @@ def run_one(n_devices: int, n_poses: int, iters: int, cg_iters: int) -> dict:
 
     chi2 = np.asarray(stats["chi2_robust"], np.float64)
     NP_, NL = graph.n_poses, graph.n_landmarks
-    # Per-CG-matvec psum payload (replicated reduced-system products):
-    # z [NL,2] + y_partial [NP,3]; per-build psum: Hpp [NP,9] + Hll [NL,4]
-    # + bp [NP,3] + bl [NL,2] (+ scalar stats).  f32.
+    # Analytic model of the per-CG-matvec psum payload (replicated
+    # reduced-system products): z [NL,2] + y_partial [NP,3]; per-build
+    # psum: Hpp [NP,9] + Hll [NL,4] + bp [NP,3] + bl [NL,2] (+ stats). f32.
     cg_total = int(np.asarray(stats["cg_iters"]).sum())
     psum_bytes = 4 * (
         cg_total * (2 * NL + 3 * NP_)
         + iters * (9 * NP_ + 4 * NL + 3 * NP_ + 2 * NL)
+    )
+
+    # Ground truth from the compiled HLO (VERDICT r2 #5): compile one
+    # build and one build+matvec under the same shard_map and diff their
+    # all-reduce result bytes — replaces hand arithmetic with what XLA
+    # actually emitted.
+    hlo = _hlo_collectives(mesh, cfg, gs, pks)
+    psum_bytes_hlo = (
+        iters * hlo["build_bytes"] + cg_total * hlo["matvec_bytes"]
     )
     return {
         "devices": n_devices,
@@ -94,7 +161,10 @@ def run_one(n_devices: int, n_poses: int, iters: int, cg_iters: int) -> dict:
         "cg_iters_total": cg_total,
         "time_per_outer_ms": round(best / iters * 1e3, 2),
         "compile_s": round(compile_s, 1),
-        "psum_mb_per_solve": round(psum_bytes / 1e6, 2),
+        "psum_mb_per_solve_model": round(psum_bytes / 1e6, 2),
+        "psum_mb_per_solve_hlo": round(psum_bytes_hlo / 1e6, 2),
+        "hlo_build_allreduce_bytes": hlo["build_bytes"],
+        "hlo_matvec_allreduce_bytes": hlo["matvec_bytes"],
         "chi2_initial": float(chi2[0]),
         "chi2_final": float(chi2[-1]),
     }

@@ -165,32 +165,61 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
         "roofline": roof,
         "chi2_initial": float(np.asarray(fs(graph)["chi2_robust"])),
         "chi2_after": float(np.asarray(fs(final)["chi2_robust"])),
+        "memory": _device_memory(),
     }
+
+
+def _device_memory() -> dict:
+    """Peak/limit HBM stats where the backend exposes them (scale-ceiling
+    accounting, VERDICT r2 #6)."""
+    import jax
+
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    keys = ("peak_bytes_in_use", "bytes_in_use", "bytes_limit")
+    return {k: int(ms[k]) for k in keys if k in ms}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--poses-override", type=int, default=None)
-    ap.add_argument("--lm-split", default="auto",
+    def lm_split_arg(v):
+        if v == "auto":
+            return v
+        try:
+            return int(v)
+        except ValueError:
+            ap.error(f"--lm-split: expected 'auto' or an int, got {v!r}")
+    ap.add_argument("--lm-split", default="auto", type=lm_split_arg,
                     help="landmark-grid slot cap ('auto' | 0 = off | int)")
     ap.add_argument("--coupling-dtype", choices=["float32", "bfloat16"],
                     default="float32")
     args = ap.parse_args()
-    lm_split = args.lm_split if args.lm_split == "auto" else int(args.lm_split)
+    lm_split = args.lm_split
 
     import jax
 
     log(f"devices: {jax.devices()}")
     for c in args.configs:
         t0 = time.time()
-        rec = (
-            config_1_2_3(c)
-            if c <= 3
-            else config_4_5(
-                c, args.poses_override, lm_split, args.coupling_dtype
+        try:
+            rec = (
+                config_1_2_3(c)
+                if c <= 3
+                else config_4_5(
+                    c, args.poses_override, lm_split, args.coupling_dtype
+                )
             )
-        )
+        except Exception as exc:  # record the scale/OOM boundary, not a crash
+            rec = {
+                "config": c,
+                "poses_override": args.poses_override,
+                "failed": repr(exc)[:400],
+                "memory": _device_memory(),
+            }
         rec["wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rec), flush=True)
 
