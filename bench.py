@@ -81,7 +81,12 @@ def main():
 
     parsed = parse_g2o(DATASET)
     graph, _ = build_graph(parsed, init="triangulate")
-    cfg = SolverConfig(iters=ITERS)
+    # Exact per-landmark Schur elimination + Pallas Cholesky of the 903x903
+    # reduced camera system: measured fastest path at reference scale
+    # (tools/headline_ab.py r3: schur 1.30 ms/iter vs dense 2.27, packed
+    # 1.81) — it drops the 2*NB*N^2 one-hot assembly matmul whose FLOPs
+    # the algorithm never needed (VERDICT r2 weak #1).
+    cfg = SolverConfig(iters=ITERS, linear_solver="schur")
 
     step = jax.jit(lambda g: gn_step(g, cfg))
 
@@ -113,13 +118,26 @@ def main():
     iters_per_s = ITERS / best
     log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.0f} iters/s")
 
-    # Roofline utilization per chip (BASELINE.json north star).
-    from boslam.utils.roofline import dense_step_model, roofline_report
+    # Roofline utilization per chip (BASELINE.json north star) — model
+    # FLOPs of the executed path AND useful (block-sparse-counted) FLOPs,
+    # so the utilization number cannot be flattered by wasted work.
+    from boslam.utils.roofline import (
+        chip_spec,
+        roofline_report,
+        schur_step_model,
+        useful_step_flops,
+    )
 
-    flops, bytes_ = dense_step_model(
+    flops, bytes_ = schur_step_model(
         graph.n_poses, graph.n_landmarks, graph.n_bearing, graph.n_odometry
     )
     roof = roofline_report(flops, bytes_, best / ITERS)
+    uf = useful_step_flops(
+        graph.n_poses, graph.n_landmarks, graph.n_bearing, graph.n_odometry
+    )
+    roof["useful_flops_util"] = round(
+        uf / (best / ITERS) / chip_spec().peak_flops_f32, 6
+    )
     log(f"roofline: {roof}")
 
     baseline = reference_baseline()

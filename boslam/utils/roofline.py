@@ -112,6 +112,33 @@ def packed_outer_model(
     return flops, bytes_
 
 
+def schur_step_model(NP: int, NL: int, NB: int, NO: int) -> tuple[float, float]:
+    """(flops, hbm_bytes) of one exact-Schur GN step (linear_solver="schur").
+
+    Block assembly via segment-sums, then the reduced camera system
+    S = Hpp - W U^T materialized as one [3NP, 2NL] x [2NL, 3NP] matmul
+    (schur.dense_reduced_system) and factored by the fused Pallas
+    Cholesky.  This is the round-3 headline path: it eliminates the
+    2*NB*N^2 dense one-hot assembly of the r2 headline — the only matmul
+    left is the Schur correction, whose operands are state-sized, not
+    edge-sized.
+    """
+    n = 3 * NP
+    m = 2 * NL
+    edge_math = NB * 150.0 + NO * 700.0
+    outer = NB * 2.0 * (9 + 4 + 6 + 5) + NO * 2.0 * (3 * 9 + 6)
+    w = n * NL * 8.0  # U @ blockdiag(Hll_inv), batched 1x2 @ 2x2
+    s_mm = 2.0 * n * m * n  # W @ U^T
+    chol = n**3 / 3 + 4.0 * n * n
+    flops = edge_math + outer + w + s_mm + chol
+
+    f4 = 4.0
+    u_w = 2.0 * n * m * f4 * 2.0  # U and W written + read for the matmul
+    s_traffic = 3.0 * n * n * f4  # write S, read for Cholesky, write factor
+    edges = (NB * 40 + NO * 60) * f4
+    return flops, u_w + s_traffic + edges
+
+
 def useful_step_flops(
     NP: int, NL: int, NB: int, NO: int, cg_iters: int = 0
 ) -> float:

@@ -1,5 +1,6 @@
 """Scatter vs matmul (design-matrix) normal-equation assembly equivalence."""
 
+import pytest
 import numpy as np
 
 from boslam.config import SolverConfig
@@ -13,6 +14,7 @@ from boslam.solver.normal_eq import (
 from boslam.solver.optimizer import solve
 
 
+@pytest.mark.slow
 def test_matmul_assembly_matches_scatter(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     cfg_s = SolverConfig(assembly="scatter")
@@ -44,6 +46,7 @@ def test_auto_mode_picks_matmul_for_reference_dataset(full_ig):
     assert not use_matmul_assembly(g, SolverConfig(matmul_assembly_budget=1000))
 
 
+@pytest.mark.slow
 def test_solve_same_result_both_modes(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     g_s, s_s = solve(g, SolverConfig(iters=15, assembly="scatter"))

@@ -32,6 +32,7 @@ def test_solve_matches_dense(n):
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_solve_f32_slam_like_conditioning():
     """f32 with SLAM-like block scales (odometry omega ~5000, damping 0.01)."""
     n = 257
@@ -65,6 +66,7 @@ def test_jit_and_grad_shapes():
     assert x.shape == (31, 3) and bool(jnp.all(jnp.isfinite(x)))
 
 
+@pytest.mark.slow
 def test_long_chain_f32_indefinite_and_block_cut_fix():
     """f32 cyclic reduction of a LONG strongly-coupled chain loses positive
     definiteness (measured on 10k-pose SLAM graphs: the preconditioner

@@ -1,5 +1,6 @@
 """CLI + viz + checkpoint smoke tests (the driver layer, SURVEY §2 C10)."""
 
+import pytest
 import json
 import os
 
@@ -9,6 +10,7 @@ from boslam.cli import main
 from boslam.io.g2o import parse_g2o
 
 
+@pytest.mark.slow
 def test_solve_cli_end_to_end(tmp_path, capsys, data_dir):
     out = tmp_path / "optimized.g2o"
     ckpt = tmp_path / "state.npz"
@@ -169,10 +171,11 @@ def test_draw_only_filters(tmp_path):
         poses, lms, bearings=(b_pose, b_meas, b_lm), odometries=(o_src, o_meas),
         draw_only_pose=1, draw_only_lm=0,
     )
-    # filtered render draws fewer line artists (1 bearing vs 4, 0 odo vs 1)
+    # filtered render draws fewer line artists (1 bearing vs 4; 0 odo vs 1,
+    # each odometry = segment + heading tick, draw_utils.cpp:150-151)
     n_all = len(ax_all.lines)
     n_f = len(ax_f.lines)
-    assert n_all - n_f == 4  # 3 bearing rays + 1 odometry segment removed
+    assert n_all - n_f == 5  # 3 bearing rays + 1 odo segment + 1 tick removed
     import matplotlib.pyplot as plt
 
     plt.close("all")

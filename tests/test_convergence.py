@@ -11,6 +11,7 @@ Data facts that calibrate the assertions (verified):
 - The mini files are nearly converged already (initial chi2 ~4e-4).
 """
 
+import pytest
 import numpy as np
 
 from boslam.config import SolverConfig
@@ -81,6 +82,7 @@ def test_full_pipeline_converges_20_iters(full_ig, full_gt):
     assert lm_rmse < 0.5  # measured ~0.31
 
 
+@pytest.mark.slow
 def test_full_pipeline_50_iters_stable(full_ig, full_gt):
     """50 iterations = the reference's "definitely converged" Tab press
     (README.md:23-24); must not diverge past convergence."""

@@ -58,6 +58,7 @@ def test_chol_tile():
     assert np.all(np.triu(L, 1) == 0)
 
 
+@pytest.mark.slow
 def test_real_problem_system(full_ig):
     """The actual gauge-fixed damped H from the reference dataset."""
     from boslam.config import SolverConfig

@@ -5,6 +5,7 @@ implementations of the documented algorithm (slam/solver.cpp) produce the
 same iterates from the same start.
 """
 
+import pytest
 import numpy as np
 
 from boslam.config import SolverConfig
@@ -42,6 +43,7 @@ def test_mini_matches_oracle(mini_ig):
     np.testing.assert_allclose(np.asarray(stats["chi2_robust"]), ochi, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_matches_oracle_short(full_ig):
     """4 iterations on the full dataset: the f32 production path tracks the
     f64 oracle through the steep initial descent.  (Beyond ~5 iterations
@@ -60,6 +62,7 @@ def test_full_matches_oracle_short(full_ig):
     assert err < 0.1, err
 
 
+@pytest.mark.slow
 def test_full_oracle_same_plateau(full_ig):
     """Both implementations converge to the same chi2 plateau and the same
     trajectory (up to f32 tolerance) after 20 iterations."""

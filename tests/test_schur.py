@@ -1,6 +1,7 @@
 """Schur + PCG path vs the dense-Cholesky path: same linear system, same
 solution, same converged optimum."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def test_blocks_match_dense_assembly(full_ig):
     )
 
 
+@pytest.mark.slow
 def test_schur_direct_delta_matches_dense(full_ig):
     """One linear solve: exact Schur (dense reduced Cholesky) delta equals
     the full dense Cholesky delta — algebraic identity, f32 tolerance."""
@@ -91,6 +93,7 @@ def test_schur_cg_delta_approximates_dense(full_ig):
     assert 0.6 < np.linalg.norm(a) / np.linalg.norm(b) < 1.6
 
 
+@pytest.mark.slow
 def test_schur_direct_full_convergence(full_ig):
     """Full pipeline with linear_solver="schur" reaches the same chi2
     plateau as the dense path."""
@@ -104,6 +107,7 @@ def test_schur_direct_full_convergence(full_ig):
     assert np.median(d) < 0.05
 
 
+@pytest.mark.slow
 def test_schur_cg_full_convergence(full_ig):
     """Inexact-Newton outer loop with truncated PCG still converges to
     (nearly) the same plateau, a few percent above at worst."""

@@ -1,5 +1,6 @@
 """Dual-packed Schur solver == flat Schur solver (same math, zero scatters)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def test_pack_roundtrip(full_ig):
     assert [int(a) for a, _ in flat] == [int(a) for a, _ in packed]
 
 
+@pytest.mark.slow
 def test_packed_blocks_match_flat(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     pk, _ = pack_edges(g)
@@ -73,6 +75,7 @@ def test_packed_delta_matches_flat(full_ig):
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow
 def test_packed_solve_full_dataset(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     cfg = SolverConfig(linear_solver="schur_cg", iters=20, cg_iters=100)
@@ -84,6 +87,7 @@ def test_packed_solve_full_dataset(full_ig):
     assert abs(c_p[-1] - c_f[-1]) / c_f[-1] < 0.02, (c_p[-1], c_f[-1])
 
 
+@pytest.mark.slow
 def test_packed_solve_synthetic():
     ig, gt = generate_sequence(500, 200, seed=4)
     g, _ = build_graph(ig, init="triangulate")
@@ -120,6 +124,7 @@ def test_btridiag_preconditioner_cuts_cg_iters(full_ig):
     assert iters["btridiag"] <= 0.9 * iters["block_jacobi"], iters
 
 
+@pytest.mark.slow
 def test_btridiag_preconditioned_solve_same_optimum(full_ig):
     """Both preconditioners drive the full GN solve to the same optimum.
 
@@ -139,6 +144,7 @@ def test_btridiag_preconditioned_solve_same_optimum(full_ig):
     assert np.isfinite(b)
 
 
+@pytest.mark.slow
 def test_cg_warm_start_converges(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     cfg = SolverConfig(
@@ -158,6 +164,7 @@ def test_cg_warm_start_converges(full_ig):
     assert warm <= 1.05 * cold + 2, (warm, cold)
 
 
+@pytest.mark.slow
 def test_packed_non_chain_direct(mini_ig):
     """A broken chain (reversed edge) is handled by the packed path itself
     (framework/observation.hpp:43-47 allows arbitrary (i, j) pose pairs):
@@ -189,6 +196,7 @@ def test_packed_non_chain_direct(mini_ig):
     )
 
 
+@pytest.mark.slow
 def test_packed_loop_closures_match_flat():
     """Chain + loop closures: packed == flat on the same general graph."""
     ig, _ = generate_sequence(150, 70, seed=11, loop_closures=8)
@@ -213,6 +221,7 @@ def test_packed_loop_closures_match_flat():
     )
 
 
+@pytest.mark.slow
 def test_hot_landmark_split_blocks_match_nosplit(full_ig):
     """Virtual-row splitting is a pure layout change: same assembled blocks.
 
@@ -277,6 +286,7 @@ def test_auto_split_cap_selection(full_ig):
     assert _choose_split_cap(np.full(1000, 12)) is None
 
 
+@pytest.mark.slow
 def test_split_with_loop_closures_end_to_end():
     """Forced split + general odometry: whole solve matches the unsplit
     packed solve on a chain + loop-closure graph."""
@@ -307,6 +317,7 @@ def test_split_with_loop_closures_end_to_end():
     )
 
 
+@pytest.mark.slow
 def test_bf16_coupling_blocks_error_budget(full_ig):
     """bf16-stored coupling blocks (f32 accumulate) stay inside the
     inexact-Newton error budget: same optimum, perturbed-S linear solves
@@ -352,6 +363,7 @@ def test_bf16_coupling_blocks_error_budget(full_ig):
     assert i16 <= 1.1 * i32 + 5, (i16, i32)
 
 
+@pytest.mark.slow
 def test_packed_lm_matches_flat_lm(full_ig):
     """--packed --optimizer lm runs the packed path natively and lands on
     the flat LM path's optimum (VERDICT r2 #1: the silent GN fallback is
@@ -401,6 +413,7 @@ def test_packed_lm_rejects_then_recovers():
     assert chi[-1] < 0.5 * chi[0]
 
 
+@pytest.mark.slow
 def test_packed_lm_with_split_and_bf16(full_ig):
     """LM composes with the packed-path layout knobs (hot-landmark split,
     bf16 coupling storage)."""

@@ -21,6 +21,7 @@ def mesh8():
     return make_mesh(8)
 
 
+@pytest.mark.slow
 def test_pad_edges_noop_math(full_ig):
     """Zero-omega padding edges change no statistic."""
     g, _ = build_graph(full_ig, init="triangulate")
@@ -39,6 +40,7 @@ def test_pad_edges_noop_math(full_ig):
 
 
 @pytest.mark.parametrize("linear_solver", ["dense", "schur_cg"])
+@pytest.mark.slow
 def test_sharded_matches_single_device(full_ig, mesh8, linear_solver):
     """8-way edge-sharded GN == single-device GN (same psum-completed H)."""
     g, _ = build_graph(full_ig, init="triangulate")
@@ -61,6 +63,7 @@ def test_sharded_matches_single_device(full_ig, mesh8, linear_solver):
     assert np.max(np.abs(l2 - l1)) / l_scale < 5e-4, np.max(np.abs(l2 - l1))
 
 
+@pytest.mark.slow
 def test_sharded_lm(full_ig, mesh8):
     """LM accept/reject logic is consistent across shards (psum-ed costs)."""
     g, _ = build_graph(full_ig, init="triangulate")

@@ -48,6 +48,7 @@ def test_pad_packed_noop_math(full_ig):
 
 
 @pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.slow
 def test_sharded_packed_matches_single_device(full_ig, n_devices):
     g, _ = build_graph(full_ig, init="triangulate")
     g_1, s_1 = solve_packed(g, CFG)
@@ -67,6 +68,7 @@ def test_sharded_packed_matches_single_device(full_ig, n_devices):
     assert np.max(np.abs(p_n - p_1)) / scale < 5e-4
 
 
+@pytest.mark.slow
 def test_sharded_packed_loop_closures():
     """General odometry (chain + loop closures) under sharding == flat."""
     ig, _ = generate_sequence(120, 60, seed=7, loop_closures=6)
@@ -85,6 +87,7 @@ def test_sharded_packed_loop_closures():
     np.testing.assert_allclose(c_n, c_1, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_packed_uneven_padding():
     """K not divisible by the mesh size exercises the padded slots."""
     ig, _ = generate_sequence(90, 45, seed=3, obs_per_pose=5)
@@ -102,6 +105,7 @@ def test_sharded_packed_uneven_padding():
     )
 
 
+@pytest.mark.slow
 def test_sharded_packed_btridiag_warm():
     """The chain preconditioner + warm start also run under sharding."""
     ig, _ = generate_sequence(100, 50, seed=5)
@@ -117,6 +121,7 @@ def test_sharded_packed_btridiag_warm():
     assert np.all(np.asarray(s_n["spd_ok"]))
 
 
+@pytest.mark.slow
 def test_sharded_packed_with_lm_split():
     """Hot-landmark splitting composes with the mesh layout: the [NLV, K2]
     grid shards along K2, the virt->landmark segment-sum runs per shard,
@@ -149,6 +154,7 @@ def test_sharded_packed_with_lm_split():
     )
 
 
+@pytest.mark.slow
 def test_sharded_packed_lm():
     """LM accept/reject on the sharded packed path == single-device packed
     LM (VERDICT r2 #1: config-3 semantics at config-5 scale).  The accept

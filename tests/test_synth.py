@@ -2,6 +2,7 @@
 ``testone`` only approximates (tests/testone.cpp:33-42) — with zero noise
 the ground truth IS the optimum and must be recovered exactly."""
 
+import pytest
 import numpy as np
 
 from boslam.config import SolverConfig
@@ -44,6 +45,7 @@ def test_noisy_synthetic_converges():
     assert m["ate_rmse_aligned"] < m0["ate_rmse_aligned"]
 
 
+@pytest.mark.slow
 def test_schur_cg_on_larger_synthetic():
     """The scale path on a 1k-pose sequence: schur_cg converges like dense."""
     ig, gt = generate_sequence(1000, 400, seed=2)

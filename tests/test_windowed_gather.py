@@ -73,6 +73,7 @@ def test_reorder_makes_windows_narrow(full_ig):
     )
 
 
+@pytest.mark.slow
 def test_solve_packed_windowed_matches_take(full_ig):
     g, _ = build_graph(full_ig, init="triangulate")
     cfg = SolverConfig(
@@ -88,6 +89,7 @@ def test_solve_packed_windowed_matches_take(full_ig):
     )
 
 
+@pytest.mark.slow
 def test_solve_packed_windowed_loop_closures():
     """Windowed path on a general graph (loop closures widen some windows)."""
     from boslam.synth import generate_sequence
