@@ -49,19 +49,22 @@ class SolverConfig:
     # PCG preconditioner for the reduced camera system:
     # "block_jacobi": exact 3x3 diag(S) blocks (always available).
     # "btridiag":     block-tridiagonal T = tridiag(diag(S), odometry band)
-    #                 solved by batched cyclic reduction (solver/btridiag.py)
-    #                 — captures the dominant chain coupling; packed path +
-    #                 chain odometry only.
-    # "auto":         btridiag when the packed-chain path is active.
+    #                 solved by batched prescaled cyclic reduction with a
+    #                 PD band clamp (solver/btridiag.py) — captures the
+    #                 dominant chain coupling; packed path + chain odometry.
+    # "auto":         btridiag on chain graphs up to ~32k poses, else
+    #                 block_jacobi (measured crossover, see
+    #                 solver/schur_packed.py::_packed_preconditioner).
     preconditioner: str = "auto"  # "auto" | "block_jacobi" | "btridiag"
-    # f32 cyclic reduction of a strongly-coupled chain loses positive
-    # definiteness once the chain's condition (~length^2 x omega ratio)
-    # outgrows f32 — measured: PD at 5k poses, indefinite at 10k (PERF.md).
-    # Chains longer than this are cut into independent sub-chains (band
-    # zeroed every btridiag_block poses): each factors at bounded
-    # condition, stays SPD, and still captures the local chain coupling;
-    # CG handles the few long-wavelength cross-block modes.  0 = no limit.
-    btridiag_block: int = 2048
+    # Legacy chain-cutting stabilizer (band zeroed every btridiag_block
+    # poses), superseded in round 3: the factorization is now symmetric
+    # block-Jacobi PRESCALED (O(1) blocks at every cyclic-reduction level)
+    # and its scaled band is clamped to spectral norm < 1/2, which makes
+    # it provably PD and breakdown-free at any chain length (see
+    # solver/btridiag.py) — measured stable at 10k and 100k poses where
+    # the unscaled f32 reduction went indefinite.  0 (default) = full
+    # chain; set a block size only to experiment with cut sub-chains.
+    btridiag_block: int = 0
     # Warm-start CG from the previous outer iteration's solution (packed
     # scan loop).  Off by default: keeps per-step parity with the flat path.
     cg_warm_start: bool = False

@@ -165,6 +165,23 @@ def parse_g2o(path: str, use_native: Optional[bool] = None) -> ParsedG2O:
         return _parse_python(f.read())
 
 
+def parse_g2o_bearings_only(
+    path: str, use_native: Optional[bool] = None
+) -> ParsedG2O:
+    """Legacy bearings-only overload (g2o_utils.cpp:5-8, kept there for old
+    test drivers): identical parse, odometry edges discarded."""
+    import dataclasses
+
+    p = parse_g2o(path, use_native=use_native)
+    return dataclasses.replace(
+        p,
+        odom_src_id=p.odom_src_id[:0],
+        odom_dst_id=p.odom_dst_id[:0],
+        odom_meas=p.odom_meas[:0],
+        odom_omega=p.odom_omega[:0],
+    )
+
+
 def write_g2o(
     path: str,
     pose_ids,

@@ -51,26 +51,140 @@ def _mv(a, v):
     return jnp.einsum("nij,nj->ni", a, v)
 
 
+def _chol3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form Cholesky of SPD 3x3 blocks (lower factor).
+
+    Pivots are floored at a RELATIVE epsilon (1e-6 of the block's largest
+    diagonal entry): diag(S) blocks can go slightly indefinite in f32 near
+    convergence, and an absolute ``tiny`` floor turns that into 1/sqrt(tiny)
+    ~ 1e19 scaling factors -> inf -> NaN through the preconditioner.  A
+    relative floor keeps L^-1 bounded; this only perturbs the
+    preconditioner, never the system being solved.  Swept on 10k-pose
+    synthetics: 1e-5 visibly degrades the preconditioner (CG 17 -> 50
+    iters), 1e-6 and 1e-7 preserve it; 1e-6 takes fewer benign breakdowns.
+    """
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(a11), jnp.abs(a22)), jnp.abs(a33)
+    )
+    eps = 1e-6 * scale + jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], axis=-1),
+            jnp.stack([l21, l22, z], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _specnorm3x3(B: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Batched spectral norm of 3x3 blocks by power iteration on B^T B."""
+    v = jnp.full(B.shape[:-2] + (3,), 1.0 / jnp.sqrt(3.0), B.dtype)
+    for _ in range(iters):
+        w = jnp.einsum("...ij,...j->...i", B, v)
+        v = jnp.einsum("...ji,...j->...i", B, w)
+        nv = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        v = v / jnp.maximum(nv, jnp.asarray(1e-30, B.dtype))
+    w = jnp.einsum("...ij,...j->...i", B, v)
+    return jnp.sqrt(jnp.sum(w * w, axis=-1))
+
+
+def _inv_lower3x3(L: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of lower-triangular 3x3 blocks."""
+    l11, l21, l31 = L[..., 0, 0], L[..., 1, 0], L[..., 2, 0]
+    l22, l32, l33 = L[..., 1, 1], L[..., 2, 1], L[..., 2, 2]
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -l21 * i11 * i22
+    i31 = (l21 * l32 - l31 * l22) * i11 * i22 * i33
+    i32 = -l32 * i22 * i33
+    z = jnp.zeros_like(i11)
+    return jnp.stack(
+        [
+            jnp.stack([i11, z, z], axis=-1),
+            jnp.stack([i21, i22, z], axis=-1),
+            jnp.stack([i31, i32, i33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 class BTFactor(NamedTuple):
     """Cyclic-reduction factorization of a block-tridiagonal matrix.
 
     ``levels[k] = (alpha, gamma, Binv_e, Ae, Ce)`` holds the elimination
     coefficients of level k (all ``[M_k/2, 3, 3]``); ``Binv_last`` is the
-    1-block root system; ``n`` the unpadded size.
+    1-block root system; ``n`` the unpadded size; ``Linv`` the symmetric
+    block-Jacobi prescaling factor (see btridiag_factor).
     """
 
     levels: tuple
     Binv_last: jnp.ndarray
     n: int
+    Linv: jnp.ndarray | None = None
 
 
-def btridiag_factor(diag: jnp.ndarray, upper: jnp.ndarray) -> BTFactor:
+def btridiag_factor(
+    diag: jnp.ndarray,
+    upper: jnp.ndarray,
+    prescale: bool = True,
+    clamp_band: "float | None" = None,
+) -> BTFactor:
     """Factor T = blocktridiag(lower=upper^T, diag, upper).
 
     ``diag`` f32[N,3,3] (SPD blocks), ``upper`` f32[N-1,3,3] coupling
     (i, i+1).  N is static; the level loop unrolls to log2(N) batched
     stages.  Pads to the next power of two with decoupled identity blocks.
+
+    ``prescale`` (default): factor the symmetrically block-Jacobi-scaled
+    system T' = L^-1 T L^-T with L = chol(blockdiag(diag)) instead of T.
+    T' has identity diagonal blocks and off-diagonals of spectral norm
+    < 1 (strictly, for SPD T), so every cyclic-reduction level works on
+    O(1)-magnitude blocks — the raw SLAM chain spans ~5 orders of
+    magnitude (odometry omega 5000 vs damping 0.01) and plain f32 cyclic
+    reduction of it goes indefinite by ~10k poses (caught by the
+    cg_breakdown stat; round-2's "CG collapses to 3" at scale was
+    breakdown-truncation in disguise).  The solve applies
+    x = L^-T T'^-1 L^-1 r — two extra batched triangular products.
     """
+    Linv = None
+    if prescale:
+        L = _chol3x3(diag)
+        Linv = _inv_lower3x3(L)
+        # diag' = I exactly; upper'_i = Linv_i @ C_i @ Linv_{i+1}^T
+        upper = jnp.einsum(
+            "nij,njk,nlk->nil", Linv[:-1], upper, Linv[1:]
+        )
+        # Optionally clamp each scaled band block to spectral norm
+        # <= clamp_band (< 1/2): a block tridiagonal with identity
+        # diagonal and ||B_i|| < 1/2 is PD, and each cyclic-reduction
+        # level then CONTRACTS the band norms (beta -> ~beta^2 /
+        # (1 - 2 beta^2)), so the whole factorization is provably
+        # breakdown-free.  This makes the result a PD SURROGATE of T,
+        # not an exact factorization — preconditioner use only.  Healthy
+        # strong-chain blocks sit just under 1/2 and are barely touched;
+        # blocks next to an (f32-cancellation) indefinite diag(S) block
+        # — measured: 4 of 100k with min eig -0.23 — get their (huge)
+        # scaled coupling shrunk, which only softens the preconditioner
+        # locally.
+        if clamp_band is not None:
+            s = _specnorm3x3(upper)
+            f = jnp.minimum(1.0, clamp_band / jnp.maximum(s, 1e-30))
+            upper = upper * f[:, None, None]
+        diag = jnp.broadcast_to(
+            jnp.eye(3, dtype=diag.dtype), diag.shape
+        )
+
     N = diag.shape[0]
     dtype = diag.dtype
     M = 1 << max(0, (N - 1).bit_length())
@@ -107,7 +221,7 @@ def btridiag_factor(diag: jnp.ndarray, upper: jnp.ndarray) -> BTFactor:
         levels.append((alpha, gamma, Binv_e, Ae, Ce))
         M //= 2
 
-    return BTFactor(tuple(levels), _inv3x3(B), N)
+    return BTFactor(tuple(levels), _inv3x3(B), N, Linv)
 
 
 def btridiag_solve(factor: BTFactor, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -119,6 +233,8 @@ def btridiag_solve(factor: BTFactor, rhs: jnp.ndarray) -> jnp.ndarray:
     """
     n = factor.n
     dtype = rhs.dtype
+    if factor.Linv is not None:
+        rhs = _mv(factor.Linv, rhs)  # r' = L^-1 r
     M = 1 << max(0, (n - 1).bit_length())
     f = jnp.concatenate([rhs, jnp.zeros((M - n, 3), dtype)]) if M > n else rhs
 
@@ -139,7 +255,10 @@ def btridiag_solve(factor: BTFactor, rhs: jnp.ndarray) -> jnp.ndarray:
         x_even = _mv(Binv_e, fe - _mv(Ae, x_prev) - _mv(Ce, x))
         x = jnp.stack([x_even, x], axis=1).reshape(-1, 3)
 
-    return x[:n]
+    x = x[:n]
+    if factor.Linv is not None:
+        x = jnp.einsum("nji,nj->ni", factor.Linv, x)  # x = L^-T x'
+    return x
 
 
 def btridiag_dense(diag: jnp.ndarray, upper: jnp.ndarray) -> jnp.ndarray:

@@ -287,19 +287,27 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
     b2 = jnp.maximum(dot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
 
     def cond(state):
-        _, r, _, _, k, rz, stop = state
+        _, r, _, _, k, rz, stop, _xb, _rb = state
         return jnp.logical_not(stop) & (k < max_iters) & (
             dot(r, r) / b2 > tol * tol
         )
 
     def body(state):
-        x, r, z, p, k, rz, _stop = state
+        x, r, z, p, k, rz, _stop, x_best, rr_best = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
         curv_ok = pAp > 0
         alpha = jnp.where(curv_ok, rz, 0.0) / jnp.where(curv_ok, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
+        # Track the best-residual iterate: an (indefinite-preconditioner)
+        # breakdown step can make the LAST iterate far worse than earlier
+        # ones (observed rel^2 up to 52 on 10k-pose synthetics); returning
+        # the best keeps breakdown-truncated solves monotone-safe.
+        rr = dot(r, r)
+        better = rr < rr_best
+        x_best = jnp.where(better, x, x_best)
+        rr_best = jnp.where(better, rr, rr_best)
         z = apply_m(r)
         rz_new = dot(r, z)
         rz_ok = rz_new > 0
@@ -308,18 +316,26 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None):
         )
         p = z + beta * p
         stop = jnp.logical_not(curv_ok & rz_ok)
-        return x, r, z, p, k + 1, rz_new, stop
+        return x, r, z, p, k + 1, rz_new, stop, x_best, rr_best
 
     # An indefinite FIRST preconditioner apply (rz0 <= 0 with a nonzero
     # residual) means z0 is not a descent direction: stop immediately at x0.
     stop0 = jnp.logical_and(rz0 <= 0, dot(r0, r0) / b2 > tol * tol)
-    x, r, _, _, k, _, stop = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0, stop0)
+    x, r, _, _, k, _, stop, x_best, rr_best = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0, stop0, x0, dot(r0, r0))
     )
-    return x, k, dot(r, r) / b2, stop
+    # Healthy CG: return the LAST iterate (minimal A-norm error; the
+    # residual norm legitimately oscillates, so "best residual" would
+    # regress it).  Breakdown: the last step can be garbage — return the
+    # best-residual iterate instead.
+    x_out = jnp.where(stop, x_best, x)
+    rr_out = jnp.where(stop, rr_best, dot(r, r))
+    return x_out, k, rr_out / b2, stop
 
 
-def dense_reduced_system(blocks: SchurBlocks, g: FactorGraph):
+def dense_reduced_system(
+    blocks: SchurBlocks, g: FactorGraph, axis_name: str | None = None
+):
     """Materialize S (3NP x 3NP) — exact Schur path for small/medium NP.
 
     Built MXU-style: the correction Hpl Hll^-1 Hlp is one big matmul of the
@@ -328,26 +344,37 @@ def dense_reduced_system(blocks: SchurBlocks, g: FactorGraph):
     dataset S is 903 x 903 — smaller than the 1185 x 1185 full H the C++
     solver factorizes, and Cholesky beats its LDLT asymptotically by the
     eliminated landmark block.
+
+    Distributed: ``Hpp_diag``/``Hll_inv``/``bp``/``bl`` arrive replicated
+    (psum-completed in build_blocks) while ``Ho_sd``/``Hpl`` are per-edge
+    shards, so the edge-scattered dense pieces are local partials completed
+    with one psum each — U must be completed BEFORE the S = U Hll^-1 U^T
+    product (it is quadratic in U; per-shard products would drop the
+    cross-shard landmark terms).  The factorization then runs replicated
+    on every device — cheap at the sizes this path targets.
     """
     NP_, NL = g.n_poses, g.n_landmarks
     dtype = g.poses.dtype
 
-    # Dense Hpp
-    Hpp = jnp.zeros((3 * NP_, 3 * NP_), dtype)
+    # Dense Hpp: replicated diagonal + edge-sharded odometry couplings
     ix3 = 3 * jnp.arange(NP_)[:, None] + jnp.arange(3)[None, :]  # [NP,3]
-    Hpp = Hpp.at[ix3[:, :, None], ix3[:, None, :]].add(blocks.Hpp_diag)
+    Hpp_edge = jnp.zeros((3 * NP_, 3 * NP_), dtype)
     s3 = 3 * g.o_src[:, None] + jnp.arange(3)[None, :]
     d3 = 3 * g.o_dst[:, None] + jnp.arange(3)[None, :]
-    Hpp = Hpp.at[s3[:, :, None], d3[:, None, :]].add(blocks.Ho_sd)
-    Hpp = Hpp.at[d3[:, :, None], s3[:, None, :]].add(
+    Hpp_edge = Hpp_edge.at[s3[:, :, None], d3[:, None, :]].add(blocks.Ho_sd)
+    Hpp_edge = Hpp_edge.at[d3[:, :, None], s3[:, None, :]].add(
         jnp.swapaxes(blocks.Ho_sd, 1, 2)
     )
 
-    # Dense Hpl [3NP, 2NL] from per-edge 3x2 blocks
+    # Dense Hpl [3NP, 2NL] from per-edge 3x2 blocks (local shard)
     U = jnp.zeros((3 * NP_, 2 * NL), dtype)
     bp3 = 3 * g.b_pose[:, None] + jnp.arange(3)[None, :]
     bl2 = 2 * g.b_lm[:, None] + jnp.arange(2)[None, :]
     U = U.at[bp3[:, :, None], bl2[:, None, :]].add(blocks.Hpl)
+
+    if axis_name is not None:
+        Hpp_edge, U = jax.lax.psum((Hpp_edge, U), axis_name)
+    Hpp = Hpp_edge.at[ix3[:, :, None], ix3[:, None, :]].add(blocks.Hpp_diag)
 
     # W = U @ blockdiag(Hll_inv): batched small matmul then flatten
     W = jnp.einsum(
@@ -385,17 +412,16 @@ def schur_build_and_solve(
     extra = {}
 
     if not use_cg:
-        if axis_name is not None:
-            raise NotImplementedError(
-                "distributed mode uses linear_solver='schur_cg' (or 'dense')"
-            )
         # Same masked-solve helper as the dense path: picks the fused Pallas
         # Cholesky kernel when the reduced system fits its VMEM budget
         # (S is 3*NP x 3*NP = 903 x 903 on the reference data), else
         # jax.scipy.  solve_gauge_fixed solves H d = -b, so negate the rhs.
+        # Under sharding the assembled S/rhs are psum-completed inside
+        # dense_reduced_system and the factorization runs replicated on
+        # every device (cheap at the sizes this path targets).
         from boslam.solver.gauss_newton import solve_gauge_fixed
 
-        S, rhs_flat = dense_reduced_system(blocks, g)
+        S, rhs_flat = dense_reduced_system(blocks, g, axis_name=axis_name)
         m = jnp.repeat(mask[:, 0], 3)
         delta, _spd = solve_gauge_fixed(S, -rhs_flat, m, cfg)
         dp = delta.reshape(g.n_poses, 3)

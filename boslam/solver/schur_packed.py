@@ -328,7 +328,14 @@ def _packed_preconditioner(
     has_chain = pk.chain_len > 0 and NP_ > 1
     which = cfg.preconditioner
     if which == "auto":
-        which = "btridiag" if has_chain else "block_jacobi"
+        # Measured (r3, equal-matvec-budget sweeps on CPU + TPU): the
+        # PD-clamped chain preconditioner wins clearly at <= ~10k poses
+        # (chi2 5041 vs 8844 at 10k) but loses to plain block-Jacobi at
+        # 100k (140514 vs 116965) — the 0.495 band clamp caps the chain
+        # range it can represent, and the very long modes dominate there.
+        which = (
+            "btridiag" if has_chain and NP_ <= 32768 else "block_jacobi"
+        )
     d = packed_s_diag(blocks, pk, axis_name)
     eye3 = jnp.eye(3, dtype=d.dtype)
     d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
@@ -339,14 +346,21 @@ def _packed_preconditioner(
     band = _chain_band(blocks, pk, NP_, axis_name)
     band = band * (mask[:-1, :, None] * mask[1:, :, None])
     if cfg.btridiag_block and NP_ > cfg.btridiag_block:
-        # Cut the chain into independent sub-chains of bounded condition:
-        # f32 cyclic reduction of the FULL strongly-coupled chain goes
-        # indefinite past ~5-10k poses (cond ~ length^2), which poisons
-        # PCG (see config.btridiag_block and solver/schur.py::pcg).
+        # Optional chain cutting into independent sub-chains (legacy
+        # stabilizer; superseded by the prescale + band-clamp below but
+        # kept as a knob — see config.btridiag_block).
         i = jnp.arange(NP_ - 1)
         keep = ((i + 1) % cfg.btridiag_block) != 0
         band = band * keep[:, None, None].astype(band.dtype)
-    factor = btridiag_factor(d, band)
+    # clamp_band < 1/2 makes the scaled factorization provably PD and
+    # breakdown-free (solver/btridiag.py) — required at 10k+ poses where
+    # f32 cancellation leaves a few indefinite diag(S) blocks.  0.4999:
+    # healthy stiff-chain blocks sit just BELOW 1/2 (the exact-arithmetic
+    # SPD bound) and must not be touched — clamping them to 0.495 was
+    # measured to destroy the preconditioner on the reference dataset —
+    # while noise-pushed / indefinite-adjacent blocks land exactly at the
+    # PD boundary.
+    factor = btridiag_factor(d, band, clamp_band=0.4999)
     return lambda r: btridiag_solve(factor, r)
 
 

@@ -103,3 +103,65 @@ def test_long_chain_f32_indefinite_and_block_cut_fix():
     a = float(jnp.sum(u * z_cut))
     b = float(jnp.sum(r * z_u))
     assert abs(a - b) / max(abs(a), abs(b)) < 1e-3, (a, b)
+
+
+def test_prescaled_factor_exactness(rng):
+    """Prescaling is a pure reparametrization: solve stays exact."""
+    import jax.numpy as jnp
+
+    from boslam.solver.btridiag import (
+        btridiag_dense,
+        btridiag_factor,
+        btridiag_solve,
+    )
+
+    N = 257
+    d = rng.standard_normal((N, 3, 3)).astype(np.float32)
+    d = d @ np.swapaxes(d, 1, 2) + 5 * np.eye(3, dtype=np.float32)
+    u = 0.5 * rng.standard_normal((N - 1, 3, 3)).astype(np.float32)
+    T = np.asarray(btridiag_dense(jnp.asarray(d), jnp.asarray(u)), np.float64)
+    r = rng.standard_normal((N, 3)).astype(np.float32)
+    want = np.linalg.solve(T, r.ravel()).reshape(N, 3)
+    for pre in (False, True):
+        f = btridiag_factor(jnp.asarray(d), jnp.asarray(u), prescale=pre)
+        x = np.asarray(btridiag_solve(f, jnp.asarray(r)))
+        err = np.abs(x - want).max() / max(1.0, np.abs(want).max())
+        assert err < 2e-4, (pre, err)
+
+
+def test_specnorm3x3(rng):
+    from boslam.solver.btridiag import _specnorm3x3
+    import jax.numpy as jnp
+
+    B = rng.standard_normal((50, 3, 3)).astype(np.float32)
+    want = np.linalg.svd(B, compute_uv=False)[:, 0]
+    got = np.asarray(_specnorm3x3(jnp.asarray(B)))
+    # 8 power iterations: a few % low on near-degenerate top pairs is
+    # fine for a clamp threshold (and an UNDER-estimate only loosens it)
+    np.testing.assert_allclose(got, want, rtol=5e-2)
+    assert np.all(got <= want * (1 + 1e-4))
+
+
+def test_clamped_factor_pd_with_indefinite_diag(rng):
+    """clamp_band < 1/2 keeps the preconditioner PD/finite even when some
+    diagonal blocks are (f32-cancellation-style) indefinite — the 100k-pose
+    failure mode: unclamped prescaled reduction NaN'd or went indefinite."""
+    import jax.numpy as jnp
+
+    from boslam.solver.btridiag import btridiag_factor, btridiag_solve
+
+    N = 4096
+    d = np.tile(np.diag([500.0, 500.0, 5000.0]).astype(np.float32), (N, 1, 1))
+    # strong chain coupling just below the diagonal
+    u = -0.499 * d[:-1]
+    # poison a few diagonal blocks (indefinite, like measured diag(S))
+    for i in (17, 1000, 3000):
+        d[i] = np.diag([-0.23, 0.01, 0.01]).astype(np.float32)
+    f = btridiag_factor(
+        jnp.asarray(d), jnp.asarray(u), clamp_band=0.4999
+    )
+    r = rng.standard_normal((N, 3)).astype(np.float32)
+    z = np.asarray(btridiag_solve(f, jnp.asarray(r)))
+    assert np.all(np.isfinite(z))
+    # PD surrogate: the quadratic form r^T M^-1 r must be positive
+    assert float((r.ravel() * z.ravel()).sum()) > 0

@@ -81,3 +81,19 @@ def test_writer_roundtrip(tmp_path, mini_gt):
     np.testing.assert_allclose(back.lm_xy, mini_gt.lm_xy, rtol=1e-5)
     np.testing.assert_allclose(back.bearing_meas, mini_gt.bearing_meas, rtol=1e-5)
     np.testing.assert_allclose(back.odom_omega, mini_gt.odom_omega, rtol=1e-5)
+
+
+def test_parse_g2o_bearings_only(data_dir):
+    """Legacy bearings-only overload (g2o_utils.cpp:5-8): same parse, no
+    odometry edges."""
+    import os
+
+    from boslam.io.g2o import parse_g2o, parse_g2o_bearings_only
+
+    path = os.path.join(data_dir, "slam2D_bearing_only_initial_guess.g2o")
+    full = parse_g2o(path, use_native=False)
+    legacy = parse_g2o_bearings_only(path, use_native=False)
+    assert legacy.n_poses == full.n_poses
+    assert len(legacy.bearing_pose_id) == len(full.bearing_pose_id)
+    assert len(legacy.odom_src_id) == 0 and len(legacy.odom_meas) == 0
+    assert legacy.fixed_pose_id == full.fixed_pose_id

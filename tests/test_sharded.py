@@ -39,7 +39,7 @@ def test_pad_edges_noop_math(full_ig):
     )
 
 
-@pytest.mark.parametrize("linear_solver", ["dense", "schur_cg"])
+@pytest.mark.parametrize("linear_solver", ["dense", "schur", "schur_cg"])
 @pytest.mark.slow
 def test_sharded_matches_single_device(full_ig, mesh8, linear_solver):
     """8-way edge-sharded GN == single-device GN (same psum-completed H)."""

@@ -110,11 +110,15 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
     log(f"generating {n}-pose synthetic sequence...")
     ig, gt = generate_sequence(n, max(8, n * 2 // 5), seed=0)
     graph, meta = build_graph(ig, init="triangulate")
+    # Truncated inexact-Newton configuration: cg cap 8 was measured best
+    # chi2-per-matvec at BOTH 10k and 100k (r3 sweep, PERF.md), and
+    # "auto" picks the measured-best preconditioner per size (btridiag
+    # <= 32k poses, block_jacobi above).
     cfg = SolverConfig(
         linear_solver="schur_cg",
-        cg_iters=50,
+        cg_iters=8,
         cg_tol=1e-4,
-        preconditioner="btridiag",
+        preconditioner="auto",
         cg_warm_start=True,
         coupling_dtype=coupling_dtype,
     )
