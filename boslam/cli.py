@@ -43,6 +43,16 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--damping", type=float, default=0.01)
     p.add_argument("--linear-solver", choices=["dense", "schur", "schur_cg"], default="dense")
     p.add_argument("--cg-iters", type=int, default=100)
+    p.add_argument("--cg-tol", type=float, default=1e-5)
+    p.add_argument("--cg-warm-start", action="store_true",
+                   help="warm-start CG from the previous outer delta (packed)")
+    p.add_argument("--preconditioner",
+                   choices=["auto", "block_jacobi", "btridiag", "bband"],
+                   default="auto")
+    p.add_argument("--band-width", type=int, default=8,
+                   help="bband: S offsets 1..w kept exactly")
+    p.add_argument("--band-group", type=int, default=0,
+                   help="bband: poses per super-node (0 = max(w, 8))")
     p.add_argument("--textbook-kernel", action="store_true",
                    help="weight H by the robust weight too (disable the reference's b-side-only quirk, slam/solver.cpp:38-45)")
     p.add_argument("--autodiff-jacobians", action="store_true",
@@ -72,6 +82,11 @@ def _cfg_from_args(args):
         damping=args.damping,
         linear_solver=args.linear_solver,
         cg_iters=args.cg_iters,
+        cg_tol=args.cg_tol,
+        cg_warm_start=args.cg_warm_start,
+        preconditioner=args.preconditioner,
+        band_width=args.band_width,
+        band_group=args.band_group,
         reference_kernel_quirk=not args.textbook_kernel,
         use_autodiff_jacobians=args.autodiff_jacobians,
         lm_split=args.lm_split,

@@ -52,10 +52,17 @@ class SolverConfig:
     #                 solved by batched prescaled cyclic reduction with a
     #                 PD band clamp (solver/btridiag.py) — captures the
     #                 dominant chain coupling; packed path + chain odometry.
-    # "auto":         btridiag on chain graphs up to ~32k poses, else
-    #                 block_jacobi (measured crossover, see
-    #                 solver/schur_packed.py::_packed_preconditioner).
-    preconditioner: str = "auto"  # "auto" | "block_jacobi" | "btridiag"
+    # "bband":        block-BANDED T = band_w(S) — exact in-band entries
+    #                 including the bearing Schur correction, factored by
+    #                 super-node cyclic reduction (solver/bband.py).
+    # "auto":         measured-best per size, see
+    #                 solver/schur_packed.py::_packed_preconditioner.
+    preconditioner: str = "auto"  # "auto"|"block_jacobi"|"btridiag"|"bband"
+    # "bband" knobs: half-bandwidth w (offsets 1..w of S kept exactly) and
+    # poses per super-node q (>= w; 0 -> max(w, 8)).  Larger w captures
+    # more co-observation coupling; factor cost grows ~ NP * (3q)^2.
+    band_width: int = 8
+    band_group: int = 0
     # Legacy chain-cutting stabilizer (band zeroed every btridiag_block
     # poses), superseded in round 3: the factorization is now symmetric
     # block-Jacobi PRESCALED (O(1) blocks at every cyclic-reduction level)

@@ -336,6 +336,14 @@ def _packed_preconditioner(
         which = (
             "btridiag" if has_chain and NP_ <= 32768 else "block_jacobi"
         )
+    if which == "bband":
+        from boslam.solver.bband import assemble_sband, bband_factor, bband_solve
+
+        w = max(1, int(cfg.band_width))
+        q = int(cfg.band_group) or max(w, 8)
+        diag, band = assemble_sband(blocks, pk, w, mask, axis_name)
+        factor = bband_factor(diag, band, q)
+        return lambda r: bband_solve(factor, r)
     d = packed_s_diag(blocks, pk, axis_name)
     eye3 = jnp.eye(3, dtype=d.dtype)
     d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
