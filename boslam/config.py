@@ -55,12 +55,18 @@ class SolverConfig:
     # "bband":        block-BANDED T = band_w(S) — exact in-band entries
     #                 including the bearing Schur correction, factored by
     #                 super-node cyclic reduction (solver/bband.py).
+    #                 Opt-in: measured BETWEEN block_jacobi and btridiag
+    #                 on chain graphs (the dropped out-of-band correction
+    #                 mass dominates; see solver/bband.py's measured
+    #                 verdict) — never chosen by "auto".
     # "auto":         measured-best per size, see
     #                 solver/schur_packed.py::_packed_preconditioner.
     preconditioner: str = "auto"  # "auto"|"block_jacobi"|"btridiag"|"bband"
-    # "bband" knobs: half-bandwidth w (offsets 1..w of S kept exactly) and
-    # poses per super-node q (>= w; 0 -> max(w, 8)).  Larger w captures
-    # more co-observation coupling; factor cost grows ~ NP * (3q)^2.
+    # "bband" knobs: band_width = offsets 1..w of S kept exactly AND the
+    # super-node size (tied so every diagonal super-block is an exact
+    # principal submatrix of S — assembling narrower than the group does
+    # not preserve SPD; measured to degrade below block-Jacobi at 10k).
+    # band_group overrides both when nonzero.  Factor cost ~ NP * (3w)^2.
     band_width: int = 8
     band_group: int = 0
     # Legacy chain-cutting stabilizer (band zeroed every btridiag_block

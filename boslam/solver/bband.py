@@ -1,19 +1,43 @@
 """Block-BANDED preconditioner for the reduced camera system S.
 
-Why (measured, PERF.md round 3): the block-tridiagonal chain
-preconditioner (solver/btridiag.py) wins below ~10k poses but loses to
-plain block-Jacobi at 100k — its band holds ONLY the odometry coupling,
-and the PD clamp that keeps f32 cyclic reduction breakdown-free caps how
-much of the stiff chain it can represent.  This module keeps more of S:
+STATUS — built, measured, NOT default (same honest-negative category as
+ops/windowed_gather.py; kept opt-in because the machinery is exact,
+tested, and the measurements below are themselves load-bearing).
+
+The hypothesis: btridiag (solver/btridiag.py) keeps only the odometry
+coupling in its band, so keeping MORE of S exactly —
 
     T = band_w(S)   —  the exact entries S[i, i+d] for |d| <= w,
 
-including the bearing Schur-correction part  -B_i Hll^-1 B_j^T  for pose
-pairs (i, j) that co-observe a landmark within the band.  For trajectory
-graphs co-observation is temporally local, so a modest w captures almost
-all of S; what remains outside the band (loop closures, long revisits) is
-exactly what CG is good at.  At w = 1 this strictly dominates btridiag's
-T (same band structure, but the bearing correction included).
+including the bearing Schur-correction  -B_i Hll^-1 B_j^T  for pose
+pairs co-observing a landmark within the band — should dominate it.
+
+Measured verdict (2k/10k-pose synthetics, CG-iterations-to-1e-6 on the
+same system; PERF.md round 3):
+
+1. band_w(S) is badly INDEFINITE: the correction pushes the prescaled
+   couplings to 0.75-0.96 (a PD chain sits < 1/2), so the 0.4999 PD
+   clamp cut every coupling and the preconditioner collapsed to
+   block-Jacobi quality (chi2 10585 vs btridiag 7942 at 10k, cap-8).
+2. Gershgorin diagonal compensation (add the norm-bound of every
+   dropped out-of-band block to its row diagonals) provably restores
+   SPD — verified min-eig >= damping — but the Frobenius-product bound
+   overcounts so badly that quality drops BELOW block-Jacobi (868 vs
+   497 chi2 at 2k).  Wired via ``compensate=True``; default off.
+3. Uncompensated + clamp 0.98 (PD in practice; breakdown-guarded) is
+   the best bband variant, beats block-Jacobi, but still loses to
+   btridiag (251 vs 157 CG iters at 2k) — and WIDER bands don't help
+   (w=4/8/16/32 all ~260): the preconditioner spectrum is dominated by
+   the dropped out-of-band correction mass, which the exact in-band
+   entries cannot fix.  btridiag's diagonal-only treatment of the
+   correction is the better majorant of that dropped mass.
+4. The same machinery applied to btridiag's own T (odometry band, super-
+   node-exact factorization, no clamp engaged) needs 257 CG iters where
+   the 3x3 cyclic reduction with the 0.4999 clamp needs 157 — the
+   clamped factorization is a better PRECONDITIONER than the exact
+   solve of the matrix it factors, and the dependence on the clamp is
+   sharply non-monotonic (0.48 -> 395 iters).  The 100k-regime
+   preconditioner gap is therefore not a band-width problem.
 
 TPU-native assembly — no scatters, no pair lists: the pose-packed slot
 grid (graph/packed.py) already stores, per pose row i, the landmark ids
@@ -82,12 +106,30 @@ def assemble_sband(
     w: int,
     mask: jnp.ndarray,
     axis_name: "str | None" = None,
+    compensate: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(diag f32[NP,3,3], band f32[w,NP,3,3]) of the reduced system S.
 
     ``band[d-1, i] = S[i, i+d]`` for ``i < NP-d`` (zero rows past that).
     Gauge fix: the fixed pose's diagonal block is pinned to identity and
     its band entries zeroed — matching the masked CG matvec.
+
+    ``compensate`` (measured WORSE than off — see module docstring;
+    kept for the record): PSD-preserving truncation.  Plain
+    band-truncation of an SPD matrix is NOT SPD — measured here: the
+    bearing correction pushes the Jacobi-prescaled couplings to 0.75-0.96
+    (PD bound for a chain is ~1/2), i.e. band_w(S) is badly indefinite
+    and the factorization's PD clamp then cuts every coupling, collapsing
+    the preconditioner to block-Jacobi quality.  The fix is block-
+    Gershgorin diagonal compensation: every DROPPED out-of-band
+    correction block R_ij = -W_il B_jl^T adds ||R_ij|| to BOTH its row
+    diagonals, making T = band_w(S) + comp SPD by construction
+    (T = S + (G_R - R) with G_R - R block-diagonally dominant, hence
+    PSD).  The per-row mass uses the Frobenius upper bound
+    sum_l ||W_il||_F (sum_{j out of band} ||B_jl||_F), computed with one
+    segment-sum per outer iteration plus the in-band norm matches the
+    band assembly already does; overcounting only makes T more diagonal
+    (safe).  When nothing is dropped T == S's band exactly.
 
     Distributed: the slot grids are sharded along K, but the (k, m) slot
     match is a product of per-slot sums, so partial products don't psum.
@@ -129,6 +171,14 @@ def assemble_sband(
     diag = m1[:, None, None] * diag + (1.0 - m1[:, None, None]) * eye3
 
     o_src, o_dst, Ho = blocks.o_src, blocks.o_dst, blocks.Ho_sd
+    if compensate:
+        NL = blocks.Hll_inv.shape[0]
+        nrmW = jnp.sqrt(jnp.sum(W * W, axis=(-2, -1)))  # [NP, K]
+        nrmB = jnp.sqrt(jnp.sum(Bp * Bp, axis=(-2, -1)))  # [NP, K]
+        totB = jax.ops.segment_sum(
+            nrmB.reshape(-1), p_lm.reshape(-1), num_segments=NL
+        )
+        inband = nrmB  # running sum_{|i-j| <= w} ||B_jl||; self term j == i
     bands = []
     for d in range(1, w + 1):
         if d >= NP_:
@@ -141,6 +191,10 @@ def assemble_sband(
         tmp = jnp.einsum("pkiv,pkm->pmiv", W[: NP_ - d], match)
         corr = jnp.einsum("pmiv,pmjv->pij", tmp, Bp[d:])
         bd = -corr
+        if compensate:
+            lo = jnp.einsum("pkm,pm->pk", match, nrmB[d:])
+            hi = jnp.einsum("pkm,pk->pm", match, nrmB[: NP_ - d])
+            inband = inband.at[: NP_ - d].add(lo).at[d:].add(hi)
         # odometry couplings at offset d (chain prefix is d == 1 contiguous,
         # but the general masked segment-sum covers every layout; Ho_sd is
         # the (src, dst) block, so reversed edges contribute transposed)
@@ -160,6 +214,20 @@ def assemble_sband(
         if bands
         else jnp.zeros((0, NP_, 3, 3), jnp.float32)
     )
+    if compensate:
+        # dropped bearing-correction mass per row (Frobenius bound)
+        dropped = jnp.maximum(totB[p_lm] - inband, 0.0)
+        comp = jnp.sum(nrmW * dropped, axis=1)  # [NP]
+        # dropped (out-of-band) odometry couplings, e.g. loop closures
+        far = (jnp.abs(o_dst - o_src) > w).astype(jnp.float32)
+        nrmO = jnp.sqrt(jnp.sum(Ho * Ho, axis=(-2, -1))) * far
+        ocomp = jax.ops.segment_sum(
+            nrmO, o_src, num_segments=NP_
+        ) + jax.ops.segment_sum(nrmO, o_dst, num_segments=NP_)
+        if axis_name is not None:
+            ocomp = jax.lax.psum(ocomp, axis_name)
+        comp = (comp + ocomp) * m1
+        diag = diag + comp[:, None, None] * jnp.eye(3, dtype=diag.dtype)
     return diag, band
 
 
@@ -281,11 +349,14 @@ def bband_factor(
     Cf = jnp.concatenate([C, z1])
 
     levels = []
+    first = True
     while M > 1:
         Be, Bo = B[0::2], B[1::2]
         Ae, Ce = A[0::2], Cf[0::2]
         Ao, Co = A[1::2], Cf[1::2]
-        Binv_e = jnp.linalg.inv(Be)
+        # level 0: the prescaled diagonal is exactly I — no inversion
+        Binv_e = Be if first else jnp.linalg.inv(Be)
+        first = False
         Binv_next = jnp.concatenate([Binv_e[1:], z1])
         Ae_next = jnp.concatenate([Ae[1:], z1])
         Ce_next = jnp.concatenate([Ce[1:], z1])

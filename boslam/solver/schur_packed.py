@@ -339,10 +339,20 @@ def _packed_preconditioner(
     if which == "bband":
         from boslam.solver.bband import assemble_sband, bband_factor, bband_solve
 
-        w = max(1, int(cfg.band_width))
-        q = int(cfg.band_group) or max(w, 8)
-        diag, band = assemble_sband(blocks, pk, w, mask, axis_name)
-        factor = bband_factor(diag, band, q)
+        # Assemble width == super-node size: every diagonal super-block is
+        # then an EXACT principal submatrix of S (SPD by construction).
+        # Assembling narrower than the group (w < q) band-truncates the
+        # in-group blocks, which does NOT preserve SPD — measured at 10k
+        # poses: indefinite groups hit the diagonal fallback and the
+        # preconditioner degenerated to worse-than-block-Jacobi.
+        q = int(cfg.band_group) or max(1, int(cfg.band_width))
+        diag, band = assemble_sband(blocks, pk, q, mask, axis_name)
+        # T is SPD by construction (Gershgorin-compensated truncation), so
+        # the scaled cross-boundary norms are < 1 mathematically; 0.98
+        # clamps only f32-cancellation pathologies, not real couplings
+        # (the 0.4999 chain clamp was measured to cut EVERY boundary here
+        # — plain band truncation of S is indefinite, see assemble_sband).
+        factor = bband_factor(diag, band, q, clamp_band=0.98)
         return lambda r: bband_solve(factor, r)
     d = packed_s_diag(blocks, pk, axis_name)
     eye3 = jnp.eye(3, dtype=d.dtype)

@@ -69,7 +69,7 @@ def test_assemble_band_matches_dense_s(full_ig):
     blocks, _ = schur_packed.build_packed_blocks(g, pk, cfg, cfg.damping)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, jnp.float32)
     w = 3
-    diag, band = assemble_sband(blocks, pk, w, mask)
+    diag, band = assemble_sband(blocks, pk, w, mask, compensate=False)
 
     fblocks, _ = schur.build_blocks(g, cfg, cfg.damping)
     S, _rhs = schur.dense_reduced_system(fblocks, g)

@@ -1,4 +1,9 @@
-"""A/B the chain (btridiag) preconditioner + CG warm start vs block-Jacobi.
+"""A/B the reduced-system preconditioners on one generated problem.
+
+block_jacobi vs btridiag (chain) vs bband (block-banded, exact in-band S)
+at a fixed inner-CG budget, plus converged-tolerance runs.  Timing forces
+host materialization (block_until_ready on the tunneled backend
+acknowledges enqueue only, PERF.md).
 
 Usage: python tools/precond_bench.py [n_poses] [outer_iters]
 """
@@ -26,17 +31,21 @@ def run(graph, pk, cfg, iters):
     dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
     g, dp = graph, dp0
     g2, s, dp = step(g, dp)
-    jax.block_until_ready(g2.poses)  # compile
-    t0 = time.perf_counter()
-    g, dp = graph, dp0
-    cg_traces = []
-    for _ in range(iters):
-        g, s, dp = step(g, dp)
-        cg_traces.append(s["cg_iters"])  # traced; no host sync inside timing
-    jax.block_until_ready(g.poses)
-    dt = time.perf_counter() - t0
-    cg_total = int(sum(int(c) for c in cg_traces))
-    return g, dt, cg_total
+    _ = float(np.asarray(s["chi2_robust"]))  # compile + full materialization
+    best, cg_total = float("inf"), 0
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        g, dp = graph, dp0
+        cg_traces = []
+        for _ in range(iters):
+            g, s, dp = step(g, dp)
+            cg_traces.append(s["cg_iters"])  # traced; no host sync inside timing
+        _ = float(jax.numpy.sum(g.poses))  # host materialization barrier
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            cg_total = int(sum(int(c) for c in cg_traces))
+    return g, best, cg_total
 
 
 def main():
@@ -54,18 +63,30 @@ def main():
     )
     fs = jax.jit(lambda x: chi2_stats(edge_terms(x, SolverConfig()), SolverConfig()))
 
+    base = SolverConfig(
+        linear_solver="schur_cg", cg_tol=1e-4, cg_warm_start=True
+    )
     variants = {
-        "block_jacobi": SolverConfig(
-            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
-            preconditioner="block_jacobi",
+        # equal-inner-budget regime (the scale-path default, cap 8)
+        "block_jacobi cap8": base.replace(cg_iters=8, preconditioner="block_jacobi"),
+        "btridiag cap8": base.replace(cg_iters=8, preconditioner="btridiag"),
+        "bband w1 cap8": base.replace(
+            cg_iters=8, preconditioner="bband", band_width=1
         ),
-        "btridiag": SolverConfig(
-            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
-            preconditioner="btridiag",
+        "bband w4 cap8": base.replace(
+            cg_iters=8, preconditioner="bband", band_width=4
         ),
-        "btridiag+warm": SolverConfig(
-            linear_solver="schur_cg", cg_iters=50, cg_tol=1e-4,
-            preconditioner="btridiag", cg_warm_start=True,
+        "bband w8 cap8": base.replace(
+            cg_iters=8, preconditioner="bband", band_width=8
+        ),
+        "bband w16 cap8": base.replace(
+            cg_iters=8, preconditioner="bband", band_width=16
+        ),
+        # converged-tolerance regime (cap 50): who needs fewest matvecs
+        "block_jacobi cap50": base.replace(cg_iters=50, preconditioner="block_jacobi"),
+        "btridiag cap50": base.replace(cg_iters=50, preconditioner="btridiag"),
+        "bband w8 cap50": base.replace(
+            cg_iters=50, preconditioner="bband", band_width=8
         ),
     }
     for name, cfg in variants.items():

@@ -130,11 +130,14 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
     )
     iters = 5
 
-    step = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
+    step_j = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
     dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
+    compiled = step_j.lower(graph, dp0).compile()
+    mem = _compiled_memory(compiled)
+    step = lambda g, dp: compiled(g, dp)
     g, dp = graph, dp0
     g2, _, _ = step(g, dp)
-    jax.block_until_ready(g2.poses)  # compile
+    jax.block_until_ready(g2.poses)  # warm
     best = float("inf")
     cg_traces = []
     for _ in range(2):
@@ -169,8 +172,24 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
         "roofline": roof,
         "chi2_initial": float(np.asarray(fs(graph)["chi2_robust"])),
         "chi2_after": float(np.asarray(fs(final)["chi2_robust"])),
-        "memory": _device_memory(),
+        "memory": _device_memory() or mem,
     }
+
+
+def _compiled_memory(compiled) -> dict:
+    """HBM footprint of the compiled step from the executable itself —
+    works on backends (the axon tunnel) whose runtime memory_stats() is
+    empty.  argument + temp + output is the peak the step needs."""
+    try:
+        ma = compiled.memory_analysis()
+        return {
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "code_bytes": int(ma.generated_code_size_in_bytes),
+        }
+    except Exception:
+        return {}
 
 
 def _device_memory() -> dict:
