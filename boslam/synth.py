@@ -51,56 +51,67 @@ def generate_sequence(
         n_landmarks = max(8, n_poses // 2)
 
     # --- ground-truth trajectory: noisy Manhattan-ish walk ---
-    xyt = np.zeros((n_poses, 3), np.float64)
-    heading = 0.0
-    pos = np.zeros(2)
-    for i in range(n_poses):
-        xyt[i] = (pos[0], pos[1], heading)
-        if (i + 1) % turn_every == 0:
-            heading += rng.choice([-np.pi / 2, np.pi / 2])
-        heading += rng.normal(0, 0.01)
-        pos = pos + step_len * np.array([np.cos(heading), np.sin(heading)])
+    # (fully vectorized: the heading is a cumsum of per-step increments and
+    # the position a cumsum of unit steps — the 1M-pose regime needs this;
+    # the per-pose Python loop took minutes at 300k and hours at 1M)
+    inc = rng.normal(0, 0.01, n_poses)
+    turn_ix = np.nonzero((np.arange(n_poses) + 1) % turn_every == 0)[0]
+    inc[turn_ix] += rng.choice([-np.pi / 2, np.pi / 2], turn_ix.size)
+    h_step = np.cumsum(inc)  # heading AFTER the i-th update
+    h_rec = h_step - inc  # heading recorded at pose i
+    steps = step_len * np.stack([np.cos(h_step), np.sin(h_step)], 1)
+    pos_rec = np.concatenate(
+        [np.zeros((1, 2)), np.cumsum(steps, 0)[:-1]]
+    )
+    xyt = np.concatenate([pos_rec, h_rec[:, None]], 1)
 
     # --- landmarks scattered around the trajectory ---
     t_ix = rng.integers(0, n_poses, n_landmarks)
     offs = rng.uniform(-max_range * 0.6, max_range * 0.6, (n_landmarks, 2))
     lms = xyt[t_ix, :2] + offs
 
-    # --- bearing observations: nearest landmarks per pose ---
-    b_pose, b_lm, b_meas = [], [], []
-    for i in range(n_poses):
-        d2 = ((lms - xyt[i, :2]) ** 2).sum(1)
-        near = np.argsort(d2)[:obs_per_pose]
-        near = near[d2[near] < max_range**2]
-        for j in near:
-            dx, dy = lms[j] - xyt[i, :2]
-            alpha = np.arctan2(dy, dx) - xyt[i, 2]
-            alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
-            b_pose.append(i)
-            b_lm.append(j)
-            b_meas.append(alpha + rng.normal(0, bearing_noise))
+    # --- bearing observations: k nearest landmarks per pose (kd-tree) ---
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(lms)
+    dists, near = tree.query(
+        xyt[:, :2], k=obs_per_pose, distance_upper_bound=max_range
+    )
+    if obs_per_pose == 1:
+        dists, near = dists[:, None], near[:, None]
+    valid = np.isfinite(dists)
+    b_pose = np.nonzero(valid)[0]
+    b_lm = near[valid]
+    dxy = lms[b_lm] - xyt[b_pose, :2]
+    alpha = np.arctan2(dxy[:, 1], dxy[:, 0]) - xyt[b_pose, 2]
+    alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
+    b_meas = alpha + rng.normal(0, bearing_noise, alpha.size)
 
     # drop landmarks never observed (keeps the problem well-posed)
     observed = np.zeros(n_landmarks, bool)
-    observed[np.asarray(b_lm, int)] = True
+    observed[b_lm] = True
     remap = -np.ones(n_landmarks, int)
     remap[observed] = np.arange(observed.sum())
     lms = lms[observed]
-    b_lm = remap[np.asarray(b_lm, int)]
+    b_lm = remap[b_lm]
     n_landmarks = int(observed.sum())
 
     # --- odometry edges with the reference's information matrix ---
     o_src = np.arange(n_poses - 1)
     o_dst = o_src + 1
-    o_meas = np.zeros((n_poses - 1, 3), np.float64)
-    for e in range(n_poses - 1):
-        s, d = xyt[e], xyt[e + 1]
-        c, sn = np.cos(s[2]), np.sin(s[2])
-        dt = d[:2] - s[:2]
-        o_meas[e, 0] = c * dt[0] + sn * dt[1] + rng.normal(0, odom_noise[0])
-        o_meas[e, 1] = -sn * dt[0] + c * dt[1] + rng.normal(0, odom_noise[0])
-        dth = (d[2] - s[2] + np.pi) % (2 * np.pi) - np.pi
-        o_meas[e, 2] = dth + rng.normal(0, odom_noise[1])
+    c, sn = np.cos(xyt[:-1, 2]), np.sin(xyt[:-1, 2])
+    dt = xyt[1:, :2] - xyt[:-1, :2]
+    dth = (xyt[1:, 2] - xyt[:-1, 2] + np.pi) % (2 * np.pi) - np.pi
+    o_meas = np.stack(
+        [
+            c * dt[:, 0] + sn * dt[:, 1]
+            + rng.normal(0, odom_noise[0], n_poses - 1),
+            -sn * dt[:, 0] + c * dt[:, 1]
+            + rng.normal(0, odom_noise[0], n_poses - 1),
+            dth + rng.normal(0, odom_noise[1], n_poses - 1),
+        ],
+        1,
+    )
     # --- loop closures: near-revisit pose pairs, appended after the chain ---
     if loop_closures > 0 and n_poses > loop_closure_min_sep:
         lc_src, lc_dst, lc_meas = [], [], []
@@ -138,13 +149,20 @@ def generate_sequence(
     ).copy()
 
     # --- initial guess: integrate the noisy odometry (+ extra jitter) ---
-    ig = np.zeros_like(xyt)
-    ig[0] = xyt[0]
-    for e in range(n_poses - 1):
-        c, sn = np.cos(ig[e, 2]), np.sin(ig[e, 2])
-        ig[e + 1, 0] = ig[e, 0] + c * o_meas[e, 0] - sn * o_meas[e, 1]
-        ig[e + 1, 1] = ig[e, 1] + sn * o_meas[e, 0] + c * o_meas[e, 1]
-        ig[e + 1, 2] = ig[e, 2] + o_meas[e, 2]
+    # vectorized: headings are a plain cumsum, and each step's world-frame
+    # translation depends only on the (already known) integrated heading,
+    # so positions are a second cumsum.
+    chain = o_meas[: n_poses - 1]
+    ig_th = np.concatenate([[xyt[0, 2]], xyt[0, 2] + np.cumsum(chain[:, 2])])
+    ci, si = np.cos(ig_th[:-1]), np.sin(ig_th[:-1])
+    world_steps = np.stack(
+        [ci * chain[:, 0] - si * chain[:, 1], si * chain[:, 0] + ci * chain[:, 1]],
+        1,
+    )
+    ig_xy = xyt[0, :2] + np.concatenate(
+        [np.zeros((1, 2)), np.cumsum(world_steps, 0)]
+    )
+    ig = np.concatenate([ig_xy, ig_th[:, None]], 1)
     ig[:, :2] += rng.normal(0, init_noise[0], (n_poses, 2))
     ig[:, 2] += rng.normal(0, init_noise[1], n_poses)
     ig[0] = xyt[0]  # the gauge pose starts exact
