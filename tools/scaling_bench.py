@@ -132,9 +132,17 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
 
     step_j = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
     dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
-    compiled = step_j.lower(graph, dp0).compile()
-    mem = _compiled_memory(compiled)
-    step = lambda g, dp: compiled(g, dp)
+    # AOT lower().compile() exposes memory_analysis(), but the explicit
+    # compile route is flakier than plain jit dispatch on the tunneled
+    # backend for very large programs — fall back rather than fail.
+    mem = {}
+    step = step_j
+    try:
+        compiled = step_j.lower(graph, dp0).compile()
+        mem = _compiled_memory(compiled)
+        step = lambda g, dp: compiled(g, dp)
+    except Exception as exc:
+        log(f"AOT compile failed ({type(exc).__name__}); plain jit path")
     g, dp = graph, dp0
     g2, _, _ = step(g, dp)
     jax.block_until_ready(g2.poses)  # warm
