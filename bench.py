@@ -105,15 +105,23 @@ def main():
     log(f"converged chi2_robust: {chi2:.6f} (C++ reference: {REF_CHI2}, rel {rel:.2e})")
     assert rel < 1e-3, "converged optimum does not match the C++ reference"
 
-    # timing: 50 steps per repeat, best-of
+    # timing: 50 steps per repeat, best-of, with forced host
+    # materialization (block_until_ready acknowledges enqueue only on the
+    # tunneled backend — PERF.md) and ADAPTIVE repeats: the tunnel warms
+    # up over several runs (measured: 1154 -> 396 ms monotonically across
+    # 5 fixed repeats on a cold day), so keep going until the best result
+    # has not improved for 3 consecutive runs (cap 20).
     times = []
-    for _ in range(REPEATS):
+    stale = 0
+    while len(times) < 20 and (len(times) < REPEATS or stale < 3):
         g = graph
         t0 = time.perf_counter()
         for _ in range(ITERS):
             g, _stats = step(g)
-        jax.block_until_ready(g.poses)
-        times.append(time.perf_counter() - t0)
+        _ = float(np.asarray(g.poses).sum())
+        t = time.perf_counter() - t0
+        stale = stale + 1 if times and t >= min(times) else 0
+        times.append(t)
     best = min(times)
     iters_per_s = ITERS / best
     log(f"timed runs: {[f'{t*1e3:.1f}ms' for t in times]} -> {iters_per_s:.0f} iters/s")
