@@ -138,19 +138,52 @@ def build_packed_blocks(
     bl = _lm_rows_sum(jnp.sum(bl_b, axis=1), pk, NL)
 
     # ---- odometry ----
+    # Component-major arithmetic ([NO] vectors, stacked to [NO,3,3] only
+    # for the final blocks): the straightforward einsum chain materializes
+    # (8,128)-tile-padded [NO,3,3] intermediates — 823 MB of compiler
+    # temp at 100k poses for ~15 MB of data (PERF.md scale-ceiling).
     oe = R.odometry_error(g.poses, g.o_src, g.o_dst, g.o_meas)
     ojs, ojd = R.odometry_jacobians(g.poses, g.o_src, g.o_dst)
-    ochi2 = jnp.einsum("ei,eij,ej->e", oe, g.o_omega, oe)
+    js = [[ojs[:, r, c] for c in range(3)] for r in range(3)]
+    jd = [[ojd[:, r, c] for c in range(3)] for r in range(3)]
+    om = [[g.o_omega[:, r, c] for c in range(3)] for r in range(3)]
+    oev = [oe[:, i] for i in range(3)]
+    ochi2 = sum(
+        oev[i] * om[i][j] * oev[j] for i in range(3) for j in range(3)
+    )
     owH, owb = robust_weights(ochi2, cfg)
-    Om = g.o_omega * owH[:, None, None]
-    OmJs = jnp.einsum("eij,ejk->eik", Om, ojs)
-    OmJd = jnp.einsum("eij,ejk->eik", Om, ojd)
-    H_ss = jnp.einsum("eij,eik->ejk", ojs, OmJs)
-    H_dd = jnp.einsum("eij,eik->ejk", ojd, OmJd)
-    H_sd = jnp.einsum("eij,eik->ejk", ojs, OmJd)
-    e_w = jnp.einsum("eij,ej->ei", g.o_omega, owb[:, None] * oe)
-    bp_s = jnp.einsum("eij,ei->ej", ojs, e_w)
-    bp_d = jnp.einsum("eij,ei->ej", ojd, e_w)
+
+    def quad(A, B):
+        """A^T (owH*om) B as 3x3 lists of [NO] components."""
+        OmB = [
+            [sum(om[r][b] * B[b][c] for b in range(3)) for c in range(3)]
+            for r in range(3)
+        ]
+        return [
+            [
+                owH * sum(A[a][i] * OmB[a][j] for a in range(3))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+
+    def stack33(M):
+        return jnp.stack(
+            [jnp.stack(r, axis=-1) for r in M], axis=-2
+        )
+
+    H_ss = stack33(quad(js, js))
+    H_dd = stack33(quad(jd, jd))
+    H_sd = stack33(quad(js, jd))
+    e_w = [
+        sum(om[i][j] * (owb * oev[j]) for j in range(3)) for i in range(3)
+    ]
+    bp_s = jnp.stack(
+        [sum(js[i][j] * e_w[i] for i in range(3)) for j in range(3)], axis=-1
+    )
+    bp_d = jnp.stack(
+        [sum(jd[i][j] * e_w[i] for i in range(3)) for j in range(3)], axis=-1
+    )
 
     # Shifts for the leading chain prefix (src == e, dst == e+1 — the
     # dominant structure of SLAM graphs); gather/segment-sum only for the
@@ -219,8 +252,24 @@ def _odometry_coupling(blocks: PackedBlocks, pk: PackedEdges, xm, NP_: int,
     NO = blocks.Ho_sd.shape[0]
     y = jnp.zeros((NP_, 3), xm.dtype)
     if nc > 0:
-        y_sd = jnp.einsum("eij,ej->ei", blocks.Ho_sd[:nc], xm[1 : nc + 1])
-        y_ds = jnp.einsum("eji,ej->ei", blocks.Ho_sd[:nc], xm[:nc])
+        # component arithmetic on [nc] vectors — einsums over the
+        # [NO,3,3] block array read tile-padded buffers every CG
+        # iteration (PERF.md scale-ceiling)
+        ho = [[blocks.Ho_sd[:nc, i, j] for j in range(3)] for i in range(3)]
+        y_sd = jnp.stack(
+            [
+                sum(ho[i][j] * xm[1 : nc + 1, j] for j in range(3))
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+        y_ds = jnp.stack(
+            [
+                sum(ho[j][i] * xm[:nc, j] for j in range(3))
+                for i in range(3)
+            ],
+            axis=-1,
+        )
         y = y + jnp.pad(y_sd, ((0, NP_ - nc), (0, 0)))
         y = y + jnp.pad(y_ds, ((1, NP_ - nc - 1), (0, 0)))
     if nc < NO:
@@ -249,6 +298,14 @@ def packed_s_matvec(
 
     Distributed: exactly two psums — ``z`` (needed before the Hll^-1
     back-coupling) and the fused (odometry + correction) y-partials.
+
+    Layout note (measured, PERF.md scale-ceiling): the [*, K, 3, 2] block
+    grids read tile-padded here, but a component-major variant
+    (transposed [K, *, N] buffers + [K, NLV] gathers) was measured 3.5x
+    SLOWER — the transposed gather degenerates to width-1 scalar fetches
+    (K2*NLV of them) where this row-major form gathers wide contiguous
+    rows.  Compact layouts and fast gathers want opposite major axes;
+    the gather wins on the CG hot path.
     """
     xm = x * mask
     NP_ = x.shape[0]
@@ -276,15 +333,47 @@ def packed_s_matvec(
 def packed_s_diag(
     blocks: PackedBlocks, pk: PackedEdges, axis_name: str | None = None
 ) -> jnp.ndarray:
-    """Exact diag(S): Hpp_ii - sum_k B Hll_inv[lm] B^T over the pose slots."""
-    Hinv_g = _take(blocks.Hll_inv, pk.p_lm, pk.p_plan)  # [NP, K, 2, 2] gather
-    corr = jnp.einsum(
-        "pkij,pkjl,pkml->pim",
-        blocks.Bp,
-        Hinv_g.astype(blocks.Bp.dtype),
-        blocks.Bp,
-        preferred_element_type=jnp.float32,
-    )
+    """Exact diag(S): Hpp_ii - sum_k B Hll_inv[lm] B^T over the pose slots.
+
+    Component-major arithmetic, deliberately: the obvious einsum over a
+    gathered [NP, K, 2, 2] grid materializes (8,128)-tile-padded buffers
+    — 2.9 GB of compiler temp at 100k poses for 11 MB of data (PERF.md
+    scale-ceiling section).  Gathering the three unique Hll_inv
+    components through TRANSPOSED [K, NP] indices keeps every buffer
+    [K, NP] / [K, *, NP] (N on the lane dim) and compact.
+    """
+    if pk.p_plan is not None:
+        Hinv_g = _take(blocks.Hll_inv, pk.p_lm, pk.p_plan)  # windowed path
+        corr = jnp.einsum(
+            "pkij,pkjl,pkml->pim",
+            blocks.Bp,
+            Hinv_g.astype(blocks.Bp.dtype),
+            blocks.Bp,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        idxT = pk.p_lm.T  # [K, NP]
+        a = blocks.Hll_inv[:, 0, 0][idxT]
+        b = blocks.Hll_inv[:, 0, 1][idxT]
+        d = blocks.Hll_inv[:, 1, 1][idxT]
+        BT = jnp.transpose(blocks.Bp.astype(jnp.float32), (1, 2, 3, 0))
+        # u_j = Hll_inv @ B_j-th-row per slot; corr_im = sum_k B_i . u_m
+        rows = []
+        for i in range(3):
+            u0 = a * BT[:, i, 0] + b * BT[:, i, 1]
+            u1 = b * BT[:, i, 0] + d * BT[:, i, 1]
+            rows.append((u0, u1))
+        comps = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for m in range(i, 3):
+                u0, u1 = rows[m]
+                comps[i][m] = jnp.sum(
+                    BT[:, i, 0] * u0 + BT[:, i, 1] * u1, axis=0
+                )
+                comps[m][i] = comps[i][m]
+        corr = jnp.stack(
+            [jnp.stack(r, axis=-1) for r in comps], axis=-2
+        )  # [NP, 3, 3]
     if axis_name is not None:
         corr = jax.lax.psum(corr, axis_name)
     return blocks.Hpp_diag - corr
