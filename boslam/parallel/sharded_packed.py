@@ -108,13 +108,16 @@ def make_sharded_packed_solve(
     cfg: SolverConfig,
     pk_template: PackedEdges,
     lam0: Optional[float] = None,
+    dp0=None,
 ):
     """Build the jitted multi-device packed solve: (graph, pk) -> (graph', stats).
 
     ``pk_template`` only supplies the static fields (chain classification)
     for the spec pytree; pass the actual sharded arrays at call time.
     Dispatches GN or LM through packed_solve_loop — LM's accept/reject
-    cost test psums across the shards (VERDICT r2 #1).
+    cost test psums across the shards (VERDICT r2 #1).  ``lam0``/``dp0``
+    restore LM damping / the CG warm-start delta on resume (both
+    replicated; ``stats["dp_final"]`` carries the outgoing delta).
     """
     from boslam.solver.optimizer import packed_solve_loop
 
@@ -131,7 +134,10 @@ def make_sharded_packed_solve(
     )
     def _solve(graph: FactorGraph, pk: PackedEdges):
         l0 = None if lam0 is None else jnp.asarray(lam0, graph.poses.dtype)
-        return packed_solve_loop(graph, pk, cfg, axis_name=axis_name, lam0=l0)
+        d0 = None if dp0 is None else jnp.asarray(dp0, graph.poses.dtype)
+        return packed_solve_loop(
+            graph, pk, cfg, axis_name=axis_name, lam0=l0, dp0=d0
+        )
 
     return _solve
 
@@ -141,6 +147,7 @@ def sharded_packed_solve(
     cfg: SolverConfig,
     mesh: Optional[Mesh] = None,
     lam0: Optional[float] = None,
+    dp0=None,
 ) -> tuple[FactorGraph, dict]:
     """Convenience one-shot: pack, mesh over all devices, shard, solve."""
     if mesh is None:
@@ -149,5 +156,7 @@ def sharded_packed_solve(
         mesh = make_mesh()
     pk, _ = pack_edges(g, split_lm=cfg.lm_split)
     gs, pks = shard_packed(g, pk, mesh)
-    out, stats = make_sharded_packed_solve(mesh, cfg, pks, lam0=lam0)(gs, pks)
+    out, stats = make_sharded_packed_solve(mesh, cfg, pks, lam0=lam0, dp0=dp0)(
+        gs, pks
+    )
     return out, stats

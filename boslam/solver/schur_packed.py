@@ -436,11 +436,13 @@ def _packed_preconditioner(
         # preconditioner degenerated to worse-than-block-Jacobi.
         q = int(cfg.band_group) or max(1, int(cfg.band_width))
         diag, band = assemble_sband(blocks, pk, q, mask, axis_name)
-        # T is SPD by construction (Gershgorin-compensated truncation), so
-        # the scaled cross-boundary norms are < 1 mathematically; 0.98
-        # clamps only f32-cancellation pathologies, not real couplings
-        # (the 0.4999 chain clamp was measured to cut EVERY boundary here
-        # — plain band truncation of S is indefinite, see assemble_sband).
+        # assemble_sband is called WITHOUT Gershgorin compensation, so the
+        # band-truncated T may be indefinite (bband.py's own measurements).
+        # PD is guarded operationally, not by construction: the 0.98 clamp
+        # bounds the scaled cross-boundary norms, and bband_factor's
+        # per-group Cholesky falls back to the diagonal on any group whose
+        # pivot goes non-positive (ADVICE r3: the earlier comment claimed
+        # an SPD-by-construction invariant that does not hold).
         factor = bband_factor(diag, band, q, clamp_band=0.98)
         return lambda r: bband_solve(factor, r)
     d = packed_s_diag(blocks, pk, axis_name)

@@ -69,3 +69,22 @@ def test_generator_counts_and_format():
     # ids don't collide between poses and landmarks
     assert set(gt.pose_ids).isdisjoint(set(gt.lm_ids))
     np.testing.assert_allclose(ig.odom_omega[0], np.diag([500.0, 500.0, 5000.0]))
+
+
+def test_knn_fallback_matches_scipy():
+    """The scipy-free kNN fallback reproduces cKDTree.query exactly
+    (ADVICE r3: the generator must not hard-require scipy)."""
+    import numpy as np
+
+    from boslam.synth import _knn_bruteforce
+
+    scipy_spatial = pytest.importorskip("scipy.spatial")
+    rng = np.random.default_rng(3)
+    q = rng.normal(0, 5, (200, 2))
+    p = rng.normal(0, 5, (61, 2))
+    d1, n1 = scipy_spatial.cKDTree(p).query(q, k=5, distance_upper_bound=8.0)
+    d2, n2 = _knn_bruteforce(q, p, 5, 8.0, chunk=37)
+    np.testing.assert_array_equal(n1, n2)
+    finite = np.isfinite(d1)
+    np.testing.assert_array_equal(finite, np.isfinite(d2))
+    np.testing.assert_allclose(d1[finite], d2[finite], rtol=1e-12)
