@@ -47,8 +47,11 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cg-warm-start", action="store_true",
                    help="warm-start CG from the previous outer delta (packed)")
     p.add_argument("--preconditioner",
-                   choices=["auto", "block_jacobi", "btridiag", "bband"],
+                   choices=["auto", "block_jacobi", "btridiag", "bband",
+                            "two_level"],
                    default="auto")
+    p.add_argument("--coarse-q", type=int, default=0,
+                   help="two_level: poses per coarse aggregate (0 = auto)")
     p.add_argument("--band-width", type=int, default=8,
                    help="bband: S offsets 1..w kept exactly")
     p.add_argument("--band-group", type=int, default=0,
@@ -87,6 +90,7 @@ def _cfg_from_args(args):
         preconditioner=args.preconditioner,
         band_width=args.band_width,
         band_group=args.band_group,
+        coarse_q=args.coarse_q,
         reference_kernel_quirk=not args.textbook_kernel,
         use_autodiff_jacobians=args.autodiff_jacobians,
         lm_split=args.lm_split,

@@ -59,9 +59,21 @@ class SolverConfig:
     #                 on chain graphs (the dropped out-of-band correction
     #                 mass dominates; see solver/bband.py's measured
     #                 verdict) — never chosen by "auto".
+    # "two_level":    two-level chain scheme (solver/two_level.py): exact
+    #                 q-pose aggregate solves (cut-chain cyclic reduction)
+    #                 + a Galerkin-coarsened chain for the long-wavelength
+    #                 modes the single-level clamp cannot represent — built
+    #                 for the 100k+ regime where btridiag measurably loses
+    #                 to block-Jacobi (VERDICT r3 #2).
     # "auto":         measured-best per size, see
     #                 solver/schur_packed.py::_packed_preconditioner.
-    preconditioner: str = "auto"  # "auto"|"block_jacobi"|"btridiag"|"bband"
+    preconditioner: str = "auto"  # "auto"|"block_jacobi"|"btridiag"|"bband"|"two_level"
+    # two_level knobs: poses per coarse aggregate (0 = auto sizing) and
+    # the combination cycle ("additive" two-level Schwarz — SPD by
+    # construction, the default — or the experimental symmetrized
+    # multiplicative "vcycle").
+    coarse_q: int = 0
+    two_level_cycle: str = "additive"  # "additive" | "vcycle"
     # "bband" knobs: band_width = offsets 1..w of S kept exactly AND the
     # super-node size (tied so every diagonal super-block is an exact
     # principal submatrix of S — assembling narrower than the group does

@@ -201,10 +201,12 @@ def packed_solve_loop(
 
         if lam0 is None:
             lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
-        (final, _, dp_f), stats = jax.lax.scan(
+        (final, lam_f, dp_f), stats = jax.lax.scan(
             body, (graph, lam0, dp0), None, length=cfg.iters
         )
         stats["dp_final"] = dp_f
+        # the NEXT trial's lambda (post-schedule), for chunked continuation
+        stats["lam_final"] = lam_f
         return final, stats
 
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

@@ -450,6 +450,18 @@ def _packed_preconditioner(
     d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
     if which == "block_jacobi" or not has_chain:
         return _inv3x3(d)
+    if which == "two_level":
+        from boslam.solver.two_level import two_level_factor, two_level_solve
+
+        band = _chain_band(blocks, pk, NP_, axis_name)
+        band = band * (mask[:-1, :, None] * mask[1:, :, None])
+        # auto aggregate size: ~sqrt(NP) balances the fine (q-range) and
+        # coarse (NP/q-length) levels, clamped to a practical range.
+        q = int(cfg.coarse_q) or max(8, min(128, 1 << (NP_.bit_length() // 2)))
+        factor = two_level_factor(
+            d, band, q, mask, cycle=cfg.two_level_cycle
+        )
+        return lambda r: two_level_solve(factor, r)
     from boslam.solver.btridiag import btridiag_factor, btridiag_solve
 
     band = _chain_band(blocks, pk, NP_, axis_name)

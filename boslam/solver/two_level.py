@@ -1,0 +1,161 @@
+"""Two-level chain preconditioner — the 100k+-pose regime's missing piece.
+
+Round-3 measurements (PERF.md precond table) showed the single-level
+clamped block-tridiagonal preconditioner WINS at <= ~10k poses but LOSES
+to plain block-Jacobi at 100k: its PD band clamp caps the chain range it
+can represent, and at 100k the error is dominated by exactly those
+long-wavelength chain modes (the reference never faces this — it
+factorizes the whole sparse H exactly every step, slam/solver.cpp:77-85).
+Richer bands were built and honestly rejected (solver/bband.py).  The cure
+is hierarchical, not wider: a classical two-level scheme on the chain
+skeleton T = tridiag(diag(S), odometry band):
+
+- FINE level: T with its band CUT at aggregate boundaries (every ``q``-th
+  coupling zeroed) — NC independent q-pose block-tridiagonal systems,
+  factored exactly (one prescaled cyclic reduction over the whole chain;
+  cuts make the in-aggregate couplings short-range, so the PD clamp
+  almost never fires).  This is nonoverlapping block-Jacobi with q-pose
+  super-nodes: exact within each aggregate.
+- COARSE level: Galerkin projection T_c = P^T T P with piecewise-constant
+  interpolation over the aggregates (3x3 identity blocks).  T_c is an
+  NC-long SPD block-tridiagonal chain — the long-wavelength skeleton —
+  solved by the same cyclic reduction.  Aggregation *sums* the in-chain
+  couplings into the coarse diagonal, so the coarse chain is much better
+  conditioned than the fine one and the clamp is a no-op there.
+
+Combination (additive two-level Schwarz, SPD by construction):
+
+    M^-1 r = T_cut^-1 r + m . P T_c^-1 P^T (m . r)
+
+(``m`` is the gauge mask: the fixed pose is excluded from the coarse
+transfer so the CG invariant r_fixed == 0 -> z_fixed == 0 survives; the
+cut factor already pins the fixed block to identity.)  A symmetrized
+multiplicative V-cycle variant (fine -> coarse -> fine with exact T
+residuals) is available behind ``cycle="vcycle"``; both are SPD.
+
+TPU shape: everything is batched 3x3 block arithmetic; the fine solve is
+the existing log2(N)-level cyclic reduction (solver/btridiag.py), the
+coarse assembly is two reshapes + axis-sums, and the transfers are a
+segment-sum (reshape-sum) and a repeat.  No scalar loops, no scatters.
+
+No counterpart exists in the reference; this is a new scale component
+mandated by BASELINE.json configs 4-5 (VERDICT r3 next-round #2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from boslam.solver.btridiag import BTFactor, btridiag_factor, btridiag_solve
+
+
+class TwoLevelFactor(NamedTuple):
+    fine: BTFactor  # cut-chain cyclic-reduction factor (whole chain)
+    coarse: BTFactor  # NC-aggregate coarse-chain factor
+    q: int  # aggregate size (poses per coarse node)
+    n: int  # unpadded chain length
+    mask: jnp.ndarray  # f32[N, 1] gauge mask for the coarse transfer
+    diag: jnp.ndarray | None  # T's diag/band, kept only for the V-cycle
+    band: jnp.ndarray | None
+    cycle: str  # "additive" | "vcycle"
+
+
+def _coarse_galerkin(diag: jnp.ndarray, band: jnp.ndarray, q: int):
+    """(D_c, B_c) of T_c = P^T T P, P = piecewise-constant over aggregates.
+
+    ``diag`` f32[N,3,3], ``band`` f32[N-1,3,3] (coupling i -> i+1).  Pads
+    the chain to a multiple of q with decoupled identity blocks (exactly
+    the padding btridiag_factor itself uses).
+    """
+    N = diag.shape[0]
+    NC = -(-N // q)
+    Np = NC * q
+    if Np > N:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=diag.dtype), (Np - N, 3, 3))
+        diag = jnp.concatenate([diag, eye])
+    bpad = Np - 1 - band.shape[0]
+    if bpad > 0:
+        band = jnp.concatenate(
+            [band, jnp.zeros((bpad, 3, 3), band.dtype)]
+        )
+    # band element i couples (i, i+1); grouped as [NC, q]: slot (c, j) is
+    # coupling (cq+j, cq+j+1) — internal for j < q-1, boundary at j == q-1.
+    band_g = jnp.concatenate(
+        [band, jnp.zeros((1, 3, 3), band.dtype)]
+    ).reshape(NC, q, 3, 3)
+    Dsum = diag.reshape(NC, q, 3, 3).sum(axis=1)
+    internal = band_g[:, : q - 1].sum(axis=1) if q > 1 else 0.0
+    Dc = Dsum + internal + (
+        jnp.swapaxes(internal, -1, -2) if q > 1 else 0.0
+    )
+    Bc = band_g[:-1, q - 1]  # [NC-1, 3, 3]
+    return Dc, Bc
+
+
+def _cut_band(band: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Zero every coupling that crosses an aggregate boundary."""
+    i = jnp.arange(band.shape[0])
+    keep = ((i + 1) % q) != 0
+    return band * keep[:, None, None].astype(band.dtype)
+
+
+def two_level_factor(
+    diag: jnp.ndarray,
+    band: jnp.ndarray,
+    q: int,
+    mask: jnp.ndarray,
+    clamp_band: float = 0.4999,
+    cycle: str = "additive",
+) -> TwoLevelFactor:
+    """Factor both levels.  ``diag``/``band`` are the (gauge-masked) chain
+    T; ``mask`` f32[N,1] is the gauge mask (0 at the fixed pose)."""
+    fine = btridiag_factor(diag, _cut_band(band, q), clamp_band=clamp_band)
+    Dc, Bc = _coarse_galerkin(diag, band, q)
+    coarse = btridiag_factor(Dc, Bc, clamp_band=clamp_band)
+    keep = (diag, band) if cycle == "vcycle" else (None, None)
+    return TwoLevelFactor(
+        fine, coarse, q, diag.shape[0], mask, keep[0], keep[1], cycle
+    )
+
+
+def _restrict(r: jnp.ndarray, q: int) -> jnp.ndarray:
+    """P^T r: sum each aggregate's q rows.  r f32[N,3] -> [NC,3]."""
+    N = r.shape[0]
+    NC = -(-N // q)
+    if NC * q > N:
+        r = jnp.concatenate([r, jnp.zeros((NC * q - N, 3), r.dtype)])
+    return r.reshape(NC, q, 3).sum(axis=1)
+
+
+def _prolong(zc: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
+    """P z_c: each coarse value repeated over its aggregate."""
+    return jnp.repeat(zc, q, axis=0)[:n]
+
+
+def _t_matvec(diag, band, x):
+    """y = T x for the block-tridiagonal chain (shifts, no gathers)."""
+    y = jnp.einsum("nij,nj->ni", diag, x)
+    up = jnp.einsum("nij,nj->ni", band, x[1:])  # row i += C_i x_{i+1}
+    lo = jnp.einsum("nji,nj->ni", band, x[:-1])  # row i+1 += C_i^T x_i
+    y = y.at[:-1].add(up).at[1:].add(lo)
+    return y
+
+
+def two_level_solve(f: TwoLevelFactor, r: jnp.ndarray) -> jnp.ndarray:
+    """Apply M^-1 r (additive) or the symmetric V-cycle."""
+    if f.cycle == "additive":
+        z_fine = btridiag_solve(f.fine, r)
+        rm = r * f.mask
+        zc = btridiag_solve(f.coarse, _restrict(rm, f.q))
+        return z_fine + _prolong(zc, f.q, f.n) * f.mask
+    # symmetric V(1,1): pre-smooth with the cut factor, coarse-correct on
+    # the exact T residual, post-smooth — SPD because pre/post smoothers
+    # are identical and the cut factor is SPD.
+    z1 = btridiag_solve(f.fine, r)
+    r1 = (r - _t_matvec(f.diag, f.band, z1)) * f.mask
+    zc = btridiag_solve(f.coarse, _restrict(r1, f.q))
+    z2 = z1 + _prolong(zc, f.q, f.n) * f.mask
+    r2 = r - _t_matvec(f.diag, f.band, z2)
+    return z2 + btridiag_solve(f.fine, r2)

@@ -70,6 +70,7 @@ def main():
         # equal-inner-budget regime (the scale-path default, cap 8)
         "block_jacobi cap8": base.replace(cg_iters=8, preconditioner="block_jacobi"),
         "btridiag cap8": base.replace(cg_iters=8, preconditioner="btridiag"),
+        "two_level cap8": base.replace(cg_iters=8, preconditioner="two_level"),
         "bband w1 cap8": base.replace(
             cg_iters=8, preconditioner="bband", band_width=1
         ),
@@ -85,10 +86,22 @@ def main():
         # converged-tolerance regime (cap 50): who needs fewest matvecs
         "block_jacobi cap50": base.replace(cg_iters=50, preconditioner="block_jacobi"),
         "btridiag cap50": base.replace(cg_iters=50, preconditioner="btridiag"),
+        "two_level cap50": base.replace(cg_iters=50, preconditioner="two_level"),
+        "two_level q32 cap50": base.replace(
+            cg_iters=50, preconditioner="two_level", coarse_q=32
+        ),
+        "two_level q128 cap50": base.replace(
+            cg_iters=50, preconditioner="two_level", coarse_q=128
+        ),
         "bband w8 cap50": base.replace(
             cg_iters=50, preconditioner="bband", band_width=8
         ),
     }
+    if os.environ.get("PRECOND_ONLY"):
+        pats = os.environ["PRECOND_ONLY"].split(",")
+        variants = {
+            k: v for k, v in variants.items() if any(p in k for p in pats)
+        }
     for name, cfg in variants.items():
         g, dt, cg_total = run(graph, pk, cfg, iters)
         chi2 = float(np.asarray(fs(g)["chi2_robust"]))
