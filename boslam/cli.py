@@ -71,6 +71,10 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sharded", action="store_true", help="shard edges over all devices")
     p.add_argument("--packed", action="store_true",
                    help="dual-packed Schur+PCG layout (the large-scale path)")
+    p.add_argument("--pose-range", action="store_true",
+                   help="pose-range sharding: state + grids + reduced "
+                        "system 1/D per device (parallel/pose_range.py); "
+                        "implies the packed layout, block_jacobi precond")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu/axon)")
 
 
@@ -161,7 +165,13 @@ def cmd_solve(args) -> int:
         jax.profiler.start_trace(args.profile)
 
     t0 = time.perf_counter()
-    if args.sharded and args.packed:
+    if args.pose_range:
+        from boslam.parallel.pose_range import pose_range_solve
+
+        g2, stats = jax.block_until_ready(
+            pose_range_solve(graph, cfg, lam0=lam0)
+        )
+    elif args.sharded and args.packed:
         from boslam.parallel.sharded_packed import sharded_packed_solve
 
         g2, stats = jax.block_until_ready(
