@@ -88,15 +88,21 @@ def main():
     # the algorithm never needed (VERDICT r2 weak #1).
     cfg = SolverConfig(iters=ITERS, linear_solver="schur")
 
-    step = jax.jit(lambda g: gn_step(g, cfg))
+    # Donating the graph lets every passthrough edge array alias through
+    # the step instead of being copied per dispatch (measured r4: seven
+    # ~470 us copy-start transfers per step vanish; ~+5%).  A host copy is
+    # kept to re-place the donated buffers for each repeat.
+    host_graph = jax.tree.map(np.asarray, graph)
+    place = lambda: jax.tree.map(jax.numpy.asarray, host_graph)
+    step = jax.jit(lambda g: gn_step(g, cfg), donate_argnums=0)
 
     # compile (excluded, like refbench's analyzePattern warm-up step)
     t0 = time.perf_counter()
-    jax.block_until_ready(step(graph)[0].poses)
+    jax.block_until_ready(step(place())[0].poses)
     log(f"gn_step compile: {time.perf_counter() - t0:.2f}s")
 
     # correctness: run the full 50-iteration solve once and check the optimum
-    g = graph
+    g = place()
     for _ in range(ITERS):
         g, stats = step(g)
     final_terms = jax.jit(lambda g: chi2_stats(edge_terms(g, cfg), cfg))(g)
@@ -114,7 +120,7 @@ def main():
     times = []
     stale = 0
     while len(times) < 20 and (len(times) < REPEATS or stale < 3):
-        g = graph
+        g = place()
         t0 = time.perf_counter()
         for _ in range(ITERS):
             g, _stats = step(g)
