@@ -155,26 +155,33 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
     )
     iters = 5
 
-    step_j = jax.jit(lambda g, dp: packed_gn_step(g, pk, cfg, dp))
-    dp0 = jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
+    # Donate (graph, dp): the step's outputs alias the inputs' buffers, so
+    # XLA reuses the state/edge arrays in place instead of double-
+    # buffering them (temp-slope lever, VERDICT r3 #6).  Donated inputs
+    # are consumed, so each repeat re-places the problem from a host copy.
+    step_j = jax.jit(
+        lambda g, dp: packed_gn_step(g, pk, cfg, dp), donate_argnums=(0, 1)
+    )
+    host_graph = jax.tree.map(np.asarray, graph)
+    place = lambda: jax.tree.map(jax.numpy.asarray, host_graph)
+    mk_dp0 = lambda: jax.numpy.zeros((graph.n_poses, 3), graph.poses.dtype)
     # AOT lower().compile() exposes memory_analysis(), but the explicit
     # compile route is flakier than plain jit dispatch on the tunneled
     # backend for very large programs — fall back rather than fail.
     mem = {}
     step = step_j
     try:
-        compiled = step_j.lower(graph, dp0).compile()
+        compiled = step_j.lower(graph, mk_dp0()).compile()
         mem = _compiled_memory(compiled)
         step = lambda g, dp: compiled(g, dp)
     except Exception as exc:
         log(f"AOT compile failed ({type(exc).__name__}); plain jit path")
-    g, dp = graph, dp0
-    g2, _, _ = step(g, dp)
+    g2, _, _ = step(place(), mk_dp0())
     jax.block_until_ready(g2.poses)  # warm
     best = float("inf")
     cg_traces = []
     for _ in range(2):
-        g, dp = graph, dp0
+        g, dp = place(), mk_dp0()
         cg_traces = []
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -203,7 +210,7 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
         "poses_optimized_per_s": round(graph.n_poses * iters / best, 0),
         "cg_iters_mean": cg_mean,
         "roofline": roof,
-        "chi2_initial": float(np.asarray(fs(graph)["chi2_robust"])),
+        "chi2_initial": float(np.asarray(fs(place())["chi2_robust"])),
         "chi2_after": float(np.asarray(fs(final)["chi2_robust"])),
         "memory": _device_memory() or mem,
     }
@@ -218,7 +225,7 @@ def config_4_5(which: int, poses_override=None, lm_split="auto",
         lambda g, dp: packed_gn_step(g, pk, c, dp)
     )
     t_best, t_final, t_traces = _timed_packed(
-        graph, pk, tcfg, iters, step_builder
+        place(), pk, tcfg, iters, step_builder
     )
     rec["tol_controlled"] = {
         "cg_tol": tcfg.cg_tol,
