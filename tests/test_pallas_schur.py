@@ -73,8 +73,11 @@ def test_fused_matches_unfused_full(full_ig):
     )
     assert bool(ok)
     scale = np.abs(np.asarray(dp_u)).max()
-    assert np.abs(np.asarray(dp_f) - np.asarray(dp_u)).max() < 1e-3 * scale
-    # and a sanity bound vs the f64 oracle (dominated by shared f32 error)
+    # cond(S) ~ 1e7: each f32 algorithm carries ~1e-2 relative forward
+    # error vs f64, and two different f32 op orders can differ by ~2x
+    # that, so the pairwise bound is as loose as the oracle bound.
+    assert np.abs(np.asarray(dp_f) - np.asarray(dp_u)).max() < 3e-2 * scale
+    # the authoritative bound: each path vs the f64 oracle
     S, rhs = dense_reduced_system(blocks, g)
     m = np.repeat(np.asarray(mask)[:, 0], 3)
     Sm = np.asarray(S, np.float64) * np.outer(m, m) + np.diag(1.0 - m)
