@@ -44,11 +44,11 @@ from boslam.solver.schur import _inv3x3
 
 
 def _mm(a, b):
-    return jnp.einsum("nij,njk->nik", a, b)
+    return jnp.einsum("...nij,...njk->...nik", a, b)
 
 
 def _mv(a, v):
-    return jnp.einsum("nij,nj->ni", a, v)
+    return jnp.einsum("...nij,...nj->...ni", a, v)
 
 
 def _chol3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -142,9 +142,12 @@ def btridiag_factor(
 ) -> BTFactor:
     """Factor T = blocktridiag(lower=upper^T, diag, upper).
 
-    ``diag`` f32[N,3,3] (SPD blocks), ``upper`` f32[N-1,3,3] coupling
-    (i, i+1).  N is static; the level loop unrolls to log2(N) batched
-    stages.  Pads to the next power of two with decoupled identity blocks.
+    ``diag`` f32[..., N, 3, 3] (SPD blocks), ``upper`` f32[..., N-1, 3, 3]
+    coupling (i, i+1); leading batch dims factor that many INDEPENDENT
+    chains at once (the two-level preconditioner's cut aggregates — the
+    level count then depends on the per-chain length, not the total).
+    N is static; the level loop unrolls to log2(N) batched stages.  Pads
+    to the next power of two with decoupled identity blocks.
 
     ``prescale`` (default): factor the symmetrically block-Jacobi-scaled
     system T' = L^-1 T L^-T with L = chol(blockdiag(diag)) instead of T.
@@ -163,7 +166,10 @@ def btridiag_factor(
         Linv = _inv_lower3x3(L)
         # diag' = I exactly; upper'_i = Linv_i @ C_i @ Linv_{i+1}^T
         upper = jnp.einsum(
-            "nij,njk,nlk->nil", Linv[:-1], upper, Linv[1:]
+            "...nij,...njk,...nlk->...nil",
+            Linv[..., :-1, :, :],
+            upper,
+            Linv[..., 1:, :, :],
         )
         # Optionally clamp each scaled band block to spectral norm
         # <= clamp_band (< 1/2): a block tridiagonal with identity
@@ -180,39 +186,48 @@ def btridiag_factor(
         if clamp_band is not None:
             s = _specnorm3x3(upper)
             f = jnp.minimum(1.0, clamp_band / jnp.maximum(s, 1e-30))
-            upper = upper * f[:, None, None]
+            upper = upper * f[..., None, None]
         diag = jnp.broadcast_to(
             jnp.eye(3, dtype=diag.dtype), diag.shape
         )
 
-    N = diag.shape[0]
+    batch = diag.shape[:-3]
+    N = diag.shape[-3]
     dtype = diag.dtype
     M = 1 << max(0, (N - 1).bit_length())
 
     if M > N:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (M - N, 3, 3))
-        B = jnp.concatenate([diag, eye])
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), batch + (M - N, 3, 3)
+        )
+        B = jnp.concatenate([diag, eye], axis=-3)
     else:
         B = diag
-    pad_c = M - 1 - upper.shape[0]
-    C = jnp.concatenate([upper, jnp.zeros((pad_c, 3, 3), dtype)]) if pad_c else upper
+    pad_c = M - 1 - upper.shape[-3]
+    C = (
+        jnp.concatenate(
+            [upper, jnp.zeros(batch + (pad_c, 3, 3), dtype)], axis=-3
+        )
+        if pad_c
+        else upper
+    )
     # A[i] couples row i to i-1 (= C[i-1]^T, A[0] = 0); Cf[i] to i+1 (Cf[M-1] = 0)
-    z1 = jnp.zeros((1, 3, 3), dtype)
-    A = jnp.concatenate([z1, jnp.swapaxes(C, 1, 2)])
-    Cf = jnp.concatenate([C, z1])
+    z1 = jnp.zeros(batch + (1, 3, 3), dtype)
+    A = jnp.concatenate([z1, jnp.swapaxes(C, -1, -2)], axis=-3)
+    Cf = jnp.concatenate([C, z1], axis=-3)
 
     levels = []
     while M > 1:
-        Be, Bo = B[0::2], B[1::2]
-        Ae = A[0::2]
-        Ce = Cf[0::2]
-        Ao, Co = A[1::2], Cf[1::2]
+        Be, Bo = B[..., 0::2, :, :], B[..., 1::2, :, :]
+        Ae = A[..., 0::2, :, :]
+        Ce = Cf[..., 0::2, :, :]
+        Ao, Co = A[..., 1::2, :, :], Cf[..., 1::2, :, :]
 
         Binv_e = _inv3x3(Be)
         # odd row i = 2j+1: even neighbors are i-1 -> even j, i+1 -> even j+1
-        Binv_next = jnp.concatenate([Binv_e[1:], z1])
-        Ae_next = jnp.concatenate([Ae[1:], z1])
-        Ce_next = jnp.concatenate([Ce[1:], z1])
+        Binv_next = jnp.concatenate([Binv_e[..., 1:, :, :], z1], axis=-3)
+        Ae_next = jnp.concatenate([Ae[..., 1:, :, :], z1], axis=-3)
+        Ce_next = jnp.concatenate([Ce[..., 1:, :, :], z1], axis=-3)
         alpha = _mm(Ao, Binv_e)
         gamma = _mm(Co, Binv_next)
         B = Bo - _mm(alpha, Ce) - _mm(gamma, Ae_next)
@@ -233,31 +248,38 @@ def btridiag_solve(factor: BTFactor, rhs: jnp.ndarray) -> jnp.ndarray:
     """
     n = factor.n
     dtype = rhs.dtype
+    batch = rhs.shape[:-2]
     if factor.Linv is not None:
         rhs = _mv(factor.Linv, rhs)  # r' = L^-1 r
     M = 1 << max(0, (n - 1).bit_length())
-    f = jnp.concatenate([rhs, jnp.zeros((M - n, 3), dtype)]) if M > n else rhs
+    f = (
+        jnp.concatenate([rhs, jnp.zeros(batch + (M - n, 3), dtype)], axis=-2)
+        if M > n
+        else rhs
+    )
 
-    z1 = jnp.zeros((1, 3), dtype)
+    z1 = jnp.zeros(batch + (1, 3), dtype)
     f_evens = []
     for alpha, gamma, Binv_e, Ae, Ce in factor.levels:
-        fe, fo = f[0::2], f[1::2]
-        fe_next = jnp.concatenate([fe[1:], z1])
+        fe, fo = f[..., 0::2, :], f[..., 1::2, :]
+        fe_next = jnp.concatenate([fe[..., 1:, :], z1], axis=-2)
         f_evens.append(fe)
         f = fo - _mv(alpha, fe) - _mv(gamma, fe_next)
 
-    x = _mv(factor.Binv_last, f)  # [1, 3]
+    x = _mv(factor.Binv_last, f)  # [..., 1, 3]
     for (alpha, gamma, Binv_e, Ae, Ce), fe in zip(
         reversed(factor.levels), reversed(f_evens)
     ):
         # even row 2j: odd neighbors are x_odd[j-1] (zero at j=0) and x_odd[j]
-        x_prev = jnp.concatenate([z1, x[:-1]])
+        x_prev = jnp.concatenate([z1, x[..., :-1, :]], axis=-2)
         x_even = _mv(Binv_e, fe - _mv(Ae, x_prev) - _mv(Ce, x))
-        x = jnp.stack([x_even, x], axis=1).reshape(-1, 3)
+        x = jnp.stack([x_even, x], axis=-2).reshape(
+            batch + (2 * x.shape[-2], 3)
+        )
 
-    x = x[:n]
+    x = x[..., :n, :]
     if factor.Linv is not None:
-        x = jnp.einsum("nji,nj->ni", factor.Linv, x)  # x = L^-T x'
+        x = jnp.einsum("...nji,...nj->...ni", factor.Linv, x)  # x = L^-T x'
     return x
 
 

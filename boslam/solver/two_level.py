@@ -52,14 +52,18 @@ from boslam.solver.btridiag import BTFactor, btridiag_factor, btridiag_solve
 
 
 class TwoLevelFactor(NamedTuple):
-    fine: BTFactor  # cut-chain cyclic-reduction factor (whole chain)
-    coarse: BTFactor  # NC-aggregate coarse-chain factor
+    fine: BTFactor  # cut-chain factor: BATCHED [NC, q] aggregates
+    # (additive; log2(q) levels) or single-chain (vcycle smoother)
+    coarse: "BTFactor | tuple"  # coarse solve: a cyclic-reduction factor,
+    # or (chol_factor, lower) of the DENSE coarse chain — factored once
+    # per outer, two triangular solves per apply (wall-clock v2, r4)
     q: int  # aggregate size (poses per coarse node)
     n: int  # unpadded chain length
     mask: jnp.ndarray  # f32[N, 1] gauge mask for the coarse transfer
     diag: jnp.ndarray | None  # T's diag/band, kept only for the V-cycle
     band: jnp.ndarray | None
     cycle: str  # "additive" | "vcycle"
+    coarse_dense: bool = False
 
 
 def _coarse_galerkin(diag: jnp.ndarray, band: jnp.ndarray, q: int):
@@ -101,6 +105,27 @@ def _cut_band(band: jnp.ndarray, q: int) -> jnp.ndarray:
     return band * keep[:, None, None].astype(band.dtype)
 
 
+# Largest dense coarse chain the once-per-outer Cholesky may build (3*NC).
+_COARSE_DENSE_MAX = 4096
+
+
+def _group_aggregates(diag, band, q):
+    """Reshape the cut chain into NC independent [q]-long batched chains."""
+    N = diag.shape[0]
+    NC = -(-N // q)
+    Np = NC * q
+    if Np > N:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=diag.dtype), (Np - N, 3, 3))
+        diag = jnp.concatenate([diag, eye])
+    bpad = Np - 1 - band.shape[0]
+    if bpad > 0:
+        band = jnp.concatenate([band, jnp.zeros((bpad, 3, 3), band.dtype)])
+    band = jnp.concatenate([band, jnp.zeros((1, 3, 3), band.dtype)])
+    diag_g = diag.reshape(NC, q, 3, 3)
+    band_g = band.reshape(NC, q, 3, 3)[:, : q - 1]  # within-aggregate only
+    return diag_g, band_g
+
+
 def two_level_factor(
     diag: jnp.ndarray,
     band: jnp.ndarray,
@@ -110,13 +135,43 @@ def two_level_factor(
     cycle: str = "additive",
 ) -> TwoLevelFactor:
     """Factor both levels.  ``diag``/``band`` are the (gauge-masked) chain
-    T; ``mask`` f32[N,1] is the gauge mask (0 at the fixed pose)."""
-    fine = btridiag_factor(diag, _cut_band(band, q), clamp_band=clamp_band)
+    T; ``mask`` f32[N,1] is the gauge mask (0 at the fixed pose).
+
+    Additive (default, "v2" since r4): the fine level is a BATCHED
+    cyclic reduction over the [NC, q] aggregate grid — log2(q) levels of
+    [NC, ...]-wide ops instead of log2(N) levels of shrinking ones (the
+    single-chain form was measured launch-latency-bound at 100k: ~1.7 ms
+    per apply across ~85 tiny kernels).  The coarse chain is materialized
+    dense and Cholesky-factored ONCE per outer iteration when 3*NC fits
+    the budget; each apply is then two triangular solves.
+    """
+    if cycle == "vcycle":
+        fine = btridiag_factor(
+            diag, _cut_band(band, q), clamp_band=clamp_band
+        )
+        Dc, Bc = _coarse_galerkin(diag, band, q)
+        coarse = btridiag_factor(Dc, Bc, clamp_band=clamp_band)
+        return TwoLevelFactor(
+            fine, coarse, q, diag.shape[0], mask, diag, band, cycle
+        )
+
+    diag_g, band_g = _group_aggregates(diag, band, q)
+    fine = btridiag_factor(diag_g, band_g, clamp_band=clamp_band)
     Dc, Bc = _coarse_galerkin(diag, band, q)
-    coarse = btridiag_factor(Dc, Bc, clamp_band=clamp_band)
-    keep = (diag, band) if cycle == "vcycle" else (None, None)
+    NC = Dc.shape[0]
+    if 3 * NC <= _COARSE_DENSE_MAX:
+        from jax.scipy.linalg import cho_factor
+
+        from boslam.solver.btridiag import btridiag_dense
+
+        Tc = btridiag_dense(Dc, Bc)
+        coarse = cho_factor(Tc, lower=True)
+        dense = True
+    else:
+        coarse = btridiag_factor(Dc, Bc, clamp_band=clamp_band)
+        dense = False
     return TwoLevelFactor(
-        fine, coarse, q, diag.shape[0], mask, keep[0], keep[1], cycle
+        fine, coarse, q, diag.shape[0], mask, None, None, cycle, dense
     )
 
 
@@ -143,12 +198,28 @@ def _t_matvec(diag, band, x):
     return y
 
 
+def _coarse_apply(f: TwoLevelFactor, rc: jnp.ndarray) -> jnp.ndarray:
+    if f.coarse_dense:
+        from jax.scipy.linalg import cho_solve
+
+        return cho_solve(f.coarse, rc.reshape(-1)).reshape(rc.shape)
+    return btridiag_solve(f.coarse, rc)
+
+
 def two_level_solve(f: TwoLevelFactor, r: jnp.ndarray) -> jnp.ndarray:
     """Apply M^-1 r (additive) or the symmetric V-cycle."""
     if f.cycle == "additive":
-        z_fine = btridiag_solve(f.fine, r)
+        NC = -(-f.n // f.q)
+        rg = r
+        if NC * f.q > f.n:
+            rg = jnp.concatenate(
+                [r, jnp.zeros((NC * f.q - f.n, 3), r.dtype)]
+            )
+        z_fine = btridiag_solve(
+            f.fine, rg.reshape(NC, f.q, 3)
+        ).reshape(NC * f.q, 3)[: f.n]
         rm = r * f.mask
-        zc = btridiag_solve(f.coarse, _restrict(rm, f.q))
+        zc = _coarse_apply(f, _restrict(rm, f.q))
         return z_fine + _prolong(zc, f.q, f.n) * f.mask
     # symmetric V(1,1): pre-smooth with the cut factor, coarse-correct on
     # the exact T residual, post-smooth — SPD because pre/post smoothers

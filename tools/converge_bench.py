@@ -129,11 +129,16 @@ def flat_crosscheck(graph, cfg, max_outer, plateau_rel, chunk=20):
 
     from boslam.solver.optimizer import solve
 
+    # cg_tol 1e-4, not tighter: below ~1e-4 the f32 block-Jacobi CG hits
+    # breakdown-truncation (negative curvature from roundoff) long before
+    # the tolerance, which silently caps the inner solve quality — asking
+    # for 1e-6 made the crosscheck plateau ABOVE the packed optimum (r4,
+    # first 10k run: flat 6671 vs packed 5234).
     fcfg = cfg.replace(
         iters=chunk,
         linear_solver="schur_cg",
-        cg_iters=500,
-        cg_tol=1e-6,
+        cg_iters=300,
+        cg_tol=1e-4,
         cg_warm_start=False,
         preconditioner="block_jacobi",
         lm_split=0,
