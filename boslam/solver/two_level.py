@@ -160,12 +160,34 @@ def two_level_factor(
     Dc, Bc = _coarse_galerkin(diag, band, q)
     NC = Dc.shape[0]
     if 3 * NC <= _COARSE_DENSE_MAX:
+        # PD-guarded dense coarse: f32 cancellation leaves occasional
+        # indefinite diag(S) blocks (measured r3: min eig -0.23 outliers
+        # at 100k) and the aggregated coarse chain inherits them — a raw
+        # cho_factor then NaNs the whole preconditioner (caught r4: the
+        # first v2 run at 100k silently degraded CG to breakdown-stops).
+        # Same cure as btridiag: symmetric block-Jacobi prescale (guarded
+        # pivots) + band clamp < 1/2 makes the scaled chain provably PD;
+        # the dense factor is of that surrogate.
         from jax.scipy.linalg import cho_factor
 
-        from boslam.solver.btridiag import btridiag_dense
+        from boslam.solver.btridiag import (
+            _chol3x3,
+            _inv_lower3x3,
+            _specnorm3x3,
+            btridiag_dense,
+        )
 
-        Tc = btridiag_dense(Dc, Bc)
-        coarse = cho_factor(Tc, lower=True)
+        Lc = _chol3x3(Dc)
+        Linv_c = _inv_lower3x3(Lc)
+        Bc_s = jnp.einsum(
+            "nij,njk,nlk->nil", Linv_c[:-1], Bc, Linv_c[1:]
+        )
+        s = _specnorm3x3(Bc_s)
+        fclamp = jnp.minimum(1.0, 0.4999 / jnp.maximum(s, 1e-30))
+        Bc_s = Bc_s * fclamp[:, None, None]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=Dc.dtype), Dc.shape)
+        Tc = btridiag_dense(eye, Bc_s)
+        coarse = (cho_factor(Tc, lower=True), Linv_c)
         dense = True
     else:
         coarse = btridiag_factor(Dc, Bc, clamp_band=clamp_band)
@@ -202,7 +224,10 @@ def _coarse_apply(f: TwoLevelFactor, rc: jnp.ndarray) -> jnp.ndarray:
     if f.coarse_dense:
         from jax.scipy.linalg import cho_solve
 
-        return cho_solve(f.coarse, rc.reshape(-1)).reshape(rc.shape)
+        chol, Linv_c = f.coarse
+        r = jnp.einsum("nij,nj->ni", Linv_c, rc)  # L^-1 r
+        z = cho_solve(chol, r.reshape(-1)).reshape(rc.shape)
+        return jnp.einsum("nji,nj->ni", Linv_c, z)  # L^-T z
     return btridiag_solve(f.coarse, rc)
 
 

@@ -100,6 +100,29 @@ def test_apply_symmetric_positive(cycle):
         assert float(jnp.sum(r1 * z1)) > 0
 
 
+def test_indefinite_block_stays_finite():
+    """f32 cancellation can leave diag(S) blocks slightly indefinite
+    (measured r3: min eig -0.23 outliers at 100k); the factor must stay
+    finite and SPD-usable — the raw dense-coarse cho_factor NaN'd here
+    (caught r4 on the first 100k v2 run)."""
+    n, q = 300, 32
+    diag, band = _random_spd_chain(n, seed=11, coupling=0.4)
+    # poison a few diagonal blocks to be indefinite (min eig ~ -0.3)
+    bad = jnp.asarray(
+        np.diag([1.0, 1.0, -0.3]).astype(np.float32)
+    )
+    diag = diag.at[57].set(bad).at[191].set(bad)
+    mask = jnp.ones((n, 1), jnp.float32)
+    f = two_level_factor(diag, band, q, mask)
+    assert f.coarse_dense
+    r = jnp.asarray(
+        np.random.default_rng(12).normal(size=(n, 3)).astype(np.float32)
+    )
+    z = two_level_solve(f, r)
+    assert np.all(np.isfinite(np.asarray(z)))
+    assert float(jnp.sum(r * z)) > 0  # still a positive apply
+
+
 def test_mask_invariant():
     """r == 0 at the fixed pose -> z == 0 there (CG gauge invariant)."""
     n, q = 29, 4

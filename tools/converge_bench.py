@@ -205,6 +205,13 @@ def run_config(n_poses, args):
         np.asarray(final.landmarks),
         gt_lms,
     )
+    # RMSE is dominated by (a) the unavoidable odometry drift every
+    # loop-free bearing graph inherits and (b) a handful of near-
+    # collinear-observation landmarks with huge depth uncertainty;
+    # the median is the robust location-quality number.
+    lm_err = np.linalg.norm(np.asarray(final.landmarks) - gt_lms, axis=1)
+    lm_err = lm_err[np.isfinite(lm_err)]
+    m["lm_err_median"] = float(np.median(lm_err)) if lm_err.size else None
     rec = {
         "config": "converge",
         "name": f"synthetic_{n_poses}_packed_lm_to_plateau",
