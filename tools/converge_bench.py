@@ -185,6 +185,8 @@ def run_config(n_poses, args):
         cg_tol=args.cg_tol,
         preconditioner=args.preconditioner,
         cg_warm_start=True,
+        lm_up=args.lm_up,
+        lm_down=args.lm_down,
     )
     final, trace = run_packed_to_plateau(
         graph, cfg, args.max_outer, args.chunk, args.plateau_rel
@@ -221,6 +223,7 @@ def run_config(n_poses, args):
         "cg_tol": args.cg_tol,
         "cg_cap": args.cg_iters,
         "preconditioner": args.preconditioner,
+        "lm_up": args.lm_up,
         **trace,
         **{k: round(v, 4) for k, v in m.items()},
     }
@@ -263,6 +266,8 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=100)
     ap.add_argument("--preconditioner", default="auto")
     ap.add_argument("--plateau-rel", type=float, default=1e-4)
+    ap.add_argument("--lm-up", type=float, default=10.0)
+    ap.add_argument("--lm-down", type=float, default=0.1)
     ap.add_argument("--crosscheck-max", type=int, default=10_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
