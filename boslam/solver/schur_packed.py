@@ -417,11 +417,16 @@ def _packed_preconditioner(
     has_chain = pk.chain_len > 0 and NP_ > 1
     which = cfg.preconditioner
     if which == "auto":
-        # Measured (r3, equal-matvec-budget sweeps on CPU + TPU): the
-        # PD-clamped chain preconditioner wins clearly at <= ~10k poses
-        # (chi2 5041 vs 8844 at 10k) but loses to plain block-Jacobi at
-        # 100k (140514 vs 116965) — the 0.495 band clamp caps the chain
-        # range it can represent, and the very long modes dominate there.
+        # Measured (r3 + r4 sweeps on TPU): the PD-clamped chain
+        # preconditioner wins clearly at <= ~10k poses; above that the
+        # throughput regime (small cg caps) is won by plain block-Jacobi
+        # on WALL CLOCK — the hierarchical applies cost more launch
+        # latency than their iteration savings return (r4 100k, cap-8:
+        # bj 65 ms/outer vs two_level 143).  two_level is the QUALITY
+        # choice at 100k (equal-budget chi2 168.5k vs bj 176.3k, and bj's
+        # tight-tolerance CG breakdown-stalls) — tolerance-controlled
+        # convergence runs should select it explicitly
+        # (tools/converge_bench.py does).
         which = (
             "btridiag" if has_chain and NP_ <= 32768 else "block_jacobi"
         )

@@ -55,6 +55,14 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
         f"packed: K={pk.K} K2={pk.K2} rows={pk.l_pose.shape[0]} "
         f"fill={pmeta.fill_pose:.2f}/{pmeta.fill_lm:.2f}"
     )
+    # Inexact-Newton forcing ladder: with a FIXED truncated-CG tolerance
+    # the LM iteration stalls once the linear-solve error exceeds the
+    # remaining descent (measured r4: runs at eta=1e-3 stalled anywhere
+    # between chi2 126k and 142k at 100k poses, trajectory-dependent).
+    # On a plateau, tighten eta 10x and continue; "converged" means the
+    # plateau PERSISTS at the tightest rung.
+    tol_ladder = [cfg.cg_tol, cfg.cg_tol / 10.0, cfg.cg_tol / 100.0]
+    rung = 0
     ccfg = cfg.replace(iters=chunk)
 
     @partial(jax.jit, static_argnames=("cfg",))
@@ -82,17 +90,27 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
         n_outer += chunk
         log(
             f"  outer {n_outer}: chi2 {chunk_chi2[-1]:.2f} "
-            f"(cg {int(np.sum(np.asarray(stats['cg_iters'])))} this chunk)"
+            f"(cg {int(np.sum(np.asarray(stats['cg_iters'])))} this chunk, "
+            f"eta {ccfg.cg_tol:g})"
         )
         # chi2_robust is recorded at the START of each iteration; the
         # plateau test compares the chunk's first and last recorded values.
         if len(chi2s) > chunk:
             prev, last = chi2s[-chunk - 1], chi2s[-1]
             if prev - last < plateau_rel * max(last, 1e-30):
-                converged = True
-                break
+                if rung + 1 < len(tol_ladder):
+                    rung += 1
+                    ccfg = ccfg.replace(cg_tol=tol_ladder[rung])
+                    # a stalled lambda is pinned near lm_lambda_max;
+                    # restart the schedule for the tighter solves
+                    lam = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
+                    log(f"  plateau -> tightening eta to {ccfg.cg_tol:g}")
+                else:
+                    converged = True
+                    break
     wall = time.perf_counter() - t0
     return g, {
+        "final_cg_tol": ccfg.cg_tol,
         "outer_iters": n_outer,
         "converged": converged,
         "chi2_initial": chi2s[0],
@@ -176,7 +194,10 @@ def run_config(n_poses, args):
     from boslam.synth import generate_sequence
 
     log(f"generating {n_poses}-pose synthetic (seed 0)...")
-    ig, gt = generate_sequence(n_poses, max(8, n_poses * 2 // 5), seed=0)
+    ig, gt = generate_sequence(
+        n_poses, max(8, n_poses * 2 // 5), seed=0,
+        loop_closures=args.loop_closures,
+    )
     graph, meta = build_graph(ig, init="triangulate")
     cfg = SolverConfig(
         optimizer="lm",
@@ -216,7 +237,9 @@ def run_config(n_poses, args):
     m["lm_err_median"] = float(np.median(lm_err)) if lm_err.size else None
     rec = {
         "config": "converge",
-        "name": f"synthetic_{n_poses}_packed_lm_to_plateau",
+        "name": f"synthetic_{n_poses}_packed_lm_to_plateau"
+        + (f"_lc{args.loop_closures}" if args.loop_closures else ""),
+        "loop_closures": args.loop_closures,
         "n_poses": graph.n_poses,
         "n_landmarks": graph.n_landmarks,
         "n_edges": graph.n_bearing + graph.n_odometry,
@@ -268,6 +291,8 @@ def main():
     ap.add_argument("--plateau-rel", type=float, default=1e-4)
     ap.add_argument("--lm-up", type=float, default=10.0)
     ap.add_argument("--lm-down", type=float, default=0.1)
+    ap.add_argument("--loop-closures", type=int, default=0,
+                    help="extra odometry loop-closure edges in the synthetic")
     ap.add_argument("--crosscheck-max", type=int, default=10_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
