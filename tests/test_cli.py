@@ -166,6 +166,29 @@ def test_resume_cli_lm_lambda(tmp_path, capsys, data_dir):
     assert "lm lambda" in cap.err and "4 iterations remain" in cap.err
 
 
+def test_pose_range_cli(capsys, data_dir):
+    """--pose-range drives the range-sharded solve end to end (r4)."""
+    rc = main(
+        [
+            "solve",
+            os.path.join(data_dir, "mini_initial_guess.g2o"),
+            "--init", "triangulate",
+            "--platform", "cpu",
+            "--iters", "8",
+            "--pose-range",
+            "--linear-solver", "schur_cg",
+            "--preconditioner", "block_jacobi",
+            "--cg-iters", "50",
+            "--cg-tol", "1e-8",
+            "--lm-split", "0",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines() if l.startswith("   7")]
+    assert rows and float(rows[0].split()[1]) < 0.001  # mini optimum ~4.3e-4
+
+
 def test_interactive_headless_error(capsys, data_dir, monkeypatch):
     """--interactive on a headless box fails with guidance instead of
     silently never showing a window (VERDICT r3 weak #5)."""
