@@ -142,10 +142,14 @@ def main():
             ),
             150,
         ),
+        # tol 1e-4, not tighter: 1e-6 sits below the f32 matvec noise
+        # floor, where CG's iteration count is decided by roundoff and
+        # drifts with the toolchain (measured r4: the byte-identical r3
+        # tree moved 20 -> 99 iters between rounds; see PERF.md).
         "packed_bt": (
             packed_runner(
                 base.replace(
-                    linear_solver="schur_cg", cg_iters=150, cg_tol=1e-6,
+                    linear_solver="schur_cg", cg_iters=150, cg_tol=1e-4,
                     preconditioner="btridiag", cg_warm_start=True,
                 )
             ),
