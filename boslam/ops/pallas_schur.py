@@ -46,7 +46,7 @@ MAX_NP = 10 * B  # 1280
 MAX_ML = 4 * B  # 512
 
 
-def _make_fused_kernel(nb: int, ml: int):
+def _make_fused_kernel(nb: int):
     def kernel(
         U_ref, HllD_ref, bp_ref, bl_ref, m_ref, lam_ref,
         Hpp_ref, L_ref, x_ref, dl_ref,
@@ -147,7 +147,7 @@ def fused_schur_solve_padded(
     nb = Np // B
     lam = jnp.asarray(damping, Hpp.dtype).reshape(1, 1)
     _, x, dl = pl.pallas_call(
-        _make_fused_kernel(nb, Ml),
+        _make_fused_kernel(nb),
         out_shape=(
             jax.ShapeDtypeStruct((Np, Np), Hpp.dtype),  # L (aliases Hpp)
             jax.ShapeDtypeStruct((Np, 1), Hpp.dtype),

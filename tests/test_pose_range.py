@@ -102,7 +102,10 @@ def test_range_argument_memory_scales(full_ig):
         mesh = _mesh(d)
         sh, meta = prepare_pose_range(g, mesh)
         fn = make_pose_range_solve(mesh, cfg, meta)
-        compiled = fn.lower(sh).compile()
+        import jax.numpy as jnp
+
+        dp0 = jnp.zeros((meta.np_pad, 3), jnp.float32)
+        compiled = fn.lower(sh, dp0).compile()
         ma = compiled.memory_analysis()
         # argument_size is the GLOBAL footprint; per-device is /D for
         # fully sharded args.  Compare global sizes: they should be ~equal

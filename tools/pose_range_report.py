@@ -33,6 +33,7 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
+    import jax.numpy as jnp
 
     from boslam.config import SolverConfig
     from boslam.graph.build import build_graph
@@ -68,9 +69,10 @@ def main():
         mesh = make_mesh(d, axis_name="range")
         sh, meta = prepare_pose_range(graph, mesh)
         fn = make_pose_range_solve(mesh, cfg, meta)
-        compiled = fn.lower(sh).compile()
+        dp0 = jnp.zeros((meta.np_pad, 3), jnp.float32)
+        compiled = fn.lower(sh, dp0).compile()
         ma = compiled.memory_analysis()
-        out, stats, _dp = compiled(sh)
+        out, stats, _dp = compiled(sh, dp0)
         chi2 = np.asarray(stats["chi2_robust"], np.float64)
         rows.append(
             {
