@@ -56,6 +56,14 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
                    help="bband: S offsets 1..w kept exactly")
     p.add_argument("--band-group", type=int, default=0,
                    help="bband: poses per super-node (0 = band width)")
+    p.add_argument("--gnc-kt0", type=float, default=0.0,
+                   help="graduated non-convexity: initial robust threshold "
+                        "(0 = off); anneals geometrically down to "
+                        "--kernel-threshold over --gnc-iters outers "
+                        "(packed / pose-range paths)")
+    p.add_argument("--gnc-iters", type=int, default=0,
+                   help="outer iterations over which the GNC threshold "
+                        "anneals (0 = off)")
     p.add_argument("--textbook-kernel", action="store_true",
                    help="weight H by the robust weight too (disable the reference's b-side-only quirk, slam/solver.cpp:38-45)")
     p.add_argument("--autodiff-jacobians", action="store_true",
@@ -95,6 +103,8 @@ def _cfg_from_args(args):
         band_width=args.band_width,
         band_group=args.band_group,
         coarse_q=args.coarse_q,
+        gnc_kt0=args.gnc_kt0,
+        gnc_anneal_iters=args.gnc_iters,
         reference_kernel_quirk=not args.textbook_kernel,
         use_autodiff_jacobians=args.autodiff_jacobians,
         lm_split=args.lm_split,
@@ -123,6 +133,12 @@ def cmd_solve(args) -> int:
         f"gauge pose id {meta.fixed_pose_id}",
         file=sys.stderr,
     )
+    if getattr(args, "pgo_init", False):
+        from boslam.init.pose_graph import pgo_initialize
+
+        graph = pgo_initialize(graph)
+        print("pose-graph init applied (rotation averaging + linear "
+              "translation + re-triangulation)", file=sys.stderr)
 
     start_iter, lam0, dp0 = 0, None, None
     if args.resume:
@@ -185,7 +201,7 @@ def cmd_solve(args) -> int:
         from boslam.solver.optimizer import solve_packed
 
         g2, stats = jax.block_until_ready(
-            solve_packed(graph, cfg, lam0=lam0, dp0=dp0)
+            solve_packed(graph, cfg, lam0=lam0, dp0=dp0, start_iter=start_iter)
         )
     else:
         from boslam.solver.optimizer import solve
@@ -465,6 +481,10 @@ def main(argv=None) -> int:
     ps.add_argument("dataset")
     ps.add_argument("--gt", default=None, help="ground-truth g2o for ATE")
     ps.add_argument("--init", choices=["auto", "triangulate", "file"], default="auto")
+    ps.add_argument("--pgo-init", action="store_true",
+                    help="rotation-averaging + linear-translation pose-graph "
+                         "initialization before the solve (re-triangulates "
+                         "landmarks; boslam/init/pose_graph.py)")
     ps.add_argument("--out", default=None, help="write optimized g2o")
     ps.add_argument("--save", default=None, help="write npz checkpoint")
     ps.add_argument("--resume", default=None,

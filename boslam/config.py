@@ -26,6 +26,20 @@ class SolverConfig:
     robust: str = "threshold"  # "threshold" | "huber" | "none"
     kernel_threshold: float = 1.0  # slam/solver.cpp:16
 
+    # --- graduated non-convexity (VERDICT r4 #2) ---
+    # The reference's FIXED threshold makes large-residual loop closures
+    # nearly inert (their gradient is scaled by sqrt(kt/chi)), so scale
+    # problems converge to the odometry-drift basin and stay there.  With
+    # gnc_kt0 > 0 and gnc_anneal_iters > 0, the effective threshold starts
+    # at gnc_kt0 (large => near-quadratic objective => closures pull with
+    # full weight) and anneals geometrically down to kernel_threshold over
+    # the first gnc_anneal_iters outer iterations; the remaining outers
+    # run at the reference threshold, so the FINAL optimum is judged by
+    # the reference objective.  Implemented for the packed and pose-range
+    # paths (the scale solvers).
+    gnc_kt0: float = 0.0  # 0 disables
+    gnc_anneal_iters: int = 0
+
     # --- damping ---
     # "gn": constant diagonal damping added to H (slam/solver.cpp:64-69).
     # "lm": Levenberg-Marquardt with accept/reject and multiplicative schedule.
@@ -162,6 +176,29 @@ class SolverConfig:
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def gnc_enabled(self) -> bool:
+        return self.gnc_kt0 > 0 and self.gnc_anneal_iters > 0
+
+    def kt_at(self, i):
+        """Effective kernel threshold at outer iteration ``i`` (traced ok).
+
+        Geometric interpolation gnc_kt0 -> kernel_threshold over the first
+        ``gnc_anneal_iters`` outers, then the reference threshold exactly.
+        Returns None (compile-time constant path) when GNC is disabled.
+        """
+        if not self.gnc_enabled:
+            return None
+        import jax.numpy as jnp
+
+        frac = jnp.clip(
+            1.0 - jnp.asarray(i, jnp.float32) / self.gnc_anneal_iters,
+            0.0,
+            1.0,
+        )
+        ratio = self.gnc_kt0 / self.kernel_threshold
+        return self.kernel_threshold * jnp.power(ratio, frac)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -232,12 +232,12 @@ def _local_mask(sh: RangeShards, meta: RangeMeta, axis) -> jnp.ndarray:
     return live.astype(sh.poses.dtype)[:, None]
 
 
-def _odo_terms(src_p, dst_p, meas, omega, cfg):
+def _odo_terms(src_p, dst_p, meas, omega, cfg, kt=None):
     """Shared odometry edge math from pre-gathered endpoint poses."""
     oe = R.odometry_error_from(src_p, dst_p, meas)
     ojs, ojd = R.odometry_jacobians_from(src_p, dst_p)
     ochi2 = jnp.einsum("ei,eij,ej->e", oe, omega, oe)
-    owH, owb = robust_weights(ochi2, cfg)
+    owH, owb = robust_weights(ochi2, cfg, kt)
     Om = omega * owH[:, None, None]
     OmJs = jnp.einsum("eij,ejk->eik", Om, ojs)
     OmJd = jnp.einsum("eij,ejk->eik", Om, ojd)
@@ -250,7 +250,7 @@ def _odo_terms(src_p, dst_p, meas, omega, cfg):
     return ochi2, H_ss, H_dd, H_sd, bp_s, bp_d
 
 
-def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
+def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis, kt=None):
     """Assemble the local blocks.  Collectives: all_gather(poses),
     all_gather(landmarks), and (suffix only) one psum_scatter."""
     from boslam.solver.schur_packed import _bearing_slot_terms
@@ -265,7 +265,7 @@ def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
     p_slot = jnp.broadcast_to(sh.poses[:, None, :], (NPd, sh.p_lm.shape[1], 3))
     l_slot = lg[sh.p_lm]
     (_be, bchi2, Hpp_b, _Hll, Bp, bp_b, _bl) = _bearing_slot_terms(
-        p_slot, l_slot, sh.p_meas, sh.p_omega, cfg
+        p_slot, l_slot, sh.p_meas, sh.p_omega, cfg, kt
     )
     Hpp_diag = jnp.sum(Hpp_b, axis=1)
     bp = jnp.sum(bp_b, axis=1)
@@ -277,7 +277,7 @@ def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
     )
     p_slot2 = pg[sh.l_pose]
     (_be2, _bchi22, _Hpp2, Hll_b, Bl, _bp2, bl_b) = _bearing_slot_terms(
-        p_slot2, l_slot2, sh.l_meas, sh.l_omega, cfg
+        p_slot2, l_slot2, sh.l_meas, sh.l_omega, cfg, kt
     )
     Hll = jnp.sum(Hll_b, axis=1)
     bl = jnp.sum(bl_b, axis=1)
@@ -288,7 +288,7 @@ def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
     src_ix = jnp.clip(start - 1 + j, 0, meta.np_pad - 1)
     dst_ix = jnp.clip(start + j, 0, meta.np_pad - 1)
     ochi2, H_ss, H_dd, H_sd, bp_s, bp_d = _odo_terms(
-        pg[src_ix], pg[dst_ix], sh.oh_meas, sh.oh_omega, cfg
+        pg[src_ix], pg[dst_ix], sh.oh_meas, sh.oh_omega, cfg, kt
     )
     # src-side contributions: rows j=1..NPd -> local pose row j-1
     Hpp_diag = Hpp_diag + H_ss[1:]
@@ -296,14 +296,15 @@ def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
     # dst-side contributions: rows j=0..NPd-1 -> local pose row j
     Hpp_diag = Hpp_diag + H_dd[:-1]
     bp = bp + bp_d[:-1]
+    ktv = cfg.kernel_threshold if kt is None else kt
     chi2_odo = jnp.sum(ochi2[1:])  # each edge counted once (src owner)
-    n_odo_clamped = jnp.sum(ochi2[1:] > cfg.kernel_threshold)
+    n_odo_clamped = jnp.sum(ochi2[1:] > ktv)
 
     # ---- suffix (loop-closure) odometry: general path + psum_scatter ----
     Ho_s = jnp.zeros((sh.os_src.shape[0], 3, 3), dtype)
     if meta.has_suffix:
         schi2, sH_ss, sH_dd, sH_sd, sbp_s, sbp_d = _odo_terms(
-            pg[sh.os_src], pg[sh.os_dst], sh.os_meas, sh.os_omega, cfg
+            pg[sh.os_src], pg[sh.os_dst], sh.os_meas, sh.os_omega, cfg, kt
         )
         Ho_s = sH_sd
         idx = jnp.concatenate([sh.os_src, sh.os_dst])
@@ -321,24 +322,24 @@ def _range_build(sh: RangeShards, cfg, damping, meta: RangeMeta, axis):
         Hpp_diag = Hpp_diag + local[:, :9].reshape(NPd, 3, 3)
         bp = bp + local[:, 9:12]
         chi2_odo = chi2_odo + jnp.sum(schi2)
-        n_odo_clamped = n_odo_clamped + jnp.sum(schi2 > cfg.kernel_threshold)
+        n_odo_clamped = n_odo_clamped + jnp.sum(schi2 > ktv)
 
     stats = {
         "chi2_bearing": jax.lax.psum(jnp.sum(bchi2), axis),
         "chi2_odometry": jax.lax.psum(chi2_odo, axis),
         "chi2_robust": jax.lax.psum(
-            jnp.sum(robust_cost(bchi2, cfg) * (sh.p_omega > 0))
-            + jnp.sum(robust_cost(ochi2[1:], cfg) * (ochi2[1:] > 0)),
+            jnp.sum(robust_cost(bchi2, cfg, kt) * (sh.p_omega > 0))
+            + jnp.sum(robust_cost(ochi2[1:], cfg, kt) * (ochi2[1:] > 0)),
             axis,
         ),
         "n_bearing_clamped": jax.lax.psum(
-            jnp.sum(bchi2 > cfg.kernel_threshold), axis
+            jnp.sum(bchi2 > ktv), axis
         ),
         "n_odometry_clamped": jax.lax.psum(n_odo_clamped, axis),
     }
     if meta.has_suffix:
         stats["chi2_robust"] = stats["chi2_robust"] + jax.lax.psum(
-            jnp.sum(robust_cost(schi2, cfg) * (schi2 > 0)), axis
+            jnp.sum(robust_cost(schi2, cfg, kt) * (schi2 > 0)), axis
         )
 
     eye3 = jnp.eye(3, dtype=dtype)
@@ -402,11 +403,11 @@ def _range_s_diag(blocks, sh, axis):
 
 
 def range_build_and_solve(
-    sh: RangeShards, cfg, damping, meta: RangeMeta, axis, x0=None
+    sh: RangeShards, cfg, damping, meta: RangeMeta, axis, x0=None, kt=None
 ):
     """Full linear solve on the range layout (mirrors
     schur_packed_build_and_solve; block-Jacobi preconditioner)."""
-    blocks, stats = _range_build(sh, cfg, damping, meta, axis)
+    blocks, stats = _range_build(sh, cfg, damping, meta, axis, kt)
     mask = _local_mask(sh, meta, axis)
 
     w0 = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
@@ -442,7 +443,7 @@ def range_build_and_solve(
     return dp, dl, stats, ok
 
 
-def _range_robust_total(sh, cfg, meta, axis):
+def _range_robust_total(sh, cfg, meta, axis, kt=None):
     """Total robust cost on the range layout (one psum)."""
     NPd = sh.poses.shape[0]
     pg = _gather_all(sh.poses, axis)
@@ -458,22 +459,22 @@ def _range_robust_total(sh, cfg, meta, axis):
         sh.oh_meas,
     )
     ochi2 = jnp.einsum("ei,eij,ej->e", oe, sh.oh_omega, oe)[1:]
-    total = jnp.sum(robust_cost(bchi2, cfg) * (sh.p_omega > 0)) + jnp.sum(
-        robust_cost(ochi2, cfg) * (ochi2 > 0)
+    total = jnp.sum(robust_cost(bchi2, cfg, kt) * (sh.p_omega > 0)) + jnp.sum(
+        robust_cost(ochi2, cfg, kt) * (ochi2 > 0)
     )
     if meta.has_suffix:
         oes = R.odometry_error_from(
             pg[sh.os_src], pg[sh.os_dst], sh.os_meas
         )
         schi2 = jnp.einsum("ei,eij,ej->e", oes, sh.os_omega, oes)
-        total = total + jnp.sum(robust_cost(schi2, cfg) * (schi2 > 0))
+        total = total + jnp.sum(robust_cost(schi2, cfg, kt) * (schi2 > 0))
     return jax.lax.psum(total, axis)
 
 
-def range_gn_step(sh, cfg, meta, axis, dp_prev=None):
+def range_gn_step(sh, cfg, meta, axis, dp_prev=None, kt=None):
     x0 = dp_prev if cfg.cg_warm_start else None
     dp, dl, stats, ok = range_build_and_solve(
-        sh, cfg, cfg.damping, meta, axis, x0
+        sh, cfg, cfg.damping, meta, axis, x0, kt
     )
     poses, landmarks = boxplus_state(sh.poses, sh.landmarks, dp, dl)
     stats = dict(stats)
@@ -486,13 +487,15 @@ def range_gn_step(sh, cfg, meta, axis, dp_prev=None):
     return sh.with_state(poses, landmarks), stats, dp
 
 
-def range_lm_step(sh, cfg, meta, axis, lam, dp_prev=None):
+def range_lm_step(sh, cfg, meta, axis, lam, dp_prev=None, kt=None):
     x0 = dp_prev if cfg.cg_warm_start else None
-    dp, dl, stats, ok = range_build_and_solve(sh, cfg, lam, meta, axis, x0)
+    dp, dl, stats, ok = range_build_and_solve(
+        sh, cfg, lam, meta, axis, x0, kt
+    )
     cand_poses, cand_landmarks = boxplus_state(sh.poses, sh.landmarks, dp, dl)
     cand = sh.with_state(cand_poses, cand_landmarks)
     cost_old = stats["chi2_robust"]
-    cost_new = _range_robust_total(cand, cfg, meta, axis)
+    cost_new = _range_robust_total(cand, cfg, meta, axis, kt)
     accept = jnp.logical_and(cost_new < cost_old, ok)
 
     poses = jnp.where(accept, cand.poses, sh.poses)
@@ -521,28 +524,31 @@ def range_solve_loop(sh, cfg, meta, axis, lam0=None, dp0=None):
     """
     if dp0 is None:
         dp0 = jnp.zeros_like(sh.poses)
+    xs = jnp.arange(cfg.iters, dtype=jnp.int32)
     if cfg.optimizer == "gn":
 
-        def body(carry, _):
+        def body(carry, i):
             s, dp = carry
-            s, stats, dp = range_gn_step(s, cfg, meta, axis, dp)
+            s, stats, dp = range_gn_step(
+                s, cfg, meta, axis, dp, kt=cfg.kt_at(i)
+            )
             return (s, dp), stats
 
-        (final, dp_f), stats = jax.lax.scan(
-            body, (sh, dp0), None, length=cfg.iters
-        )
+        (final, dp_f), stats = jax.lax.scan(body, (sh, dp0), xs)
         return final, stats, dp_f
     elif cfg.optimizer == "lm":
 
-        def body(carry, _):
+        def body(carry, i):
             s, lam, dp = carry
-            s, lam, stats, dp = range_lm_step(s, cfg, meta, axis, lam, dp)
+            s, lam, stats, dp = range_lm_step(
+                s, cfg, meta, axis, lam, dp, kt=cfg.kt_at(i)
+            )
             return (s, lam, dp), stats
 
         if lam0 is None:
             lam0 = jnp.asarray(cfg.lm_lambda0, sh.poses.dtype)
         (final, lam_f, dp_f), stats = jax.lax.scan(
-            body, (sh, lam0, dp0), None, length=cfg.iters
+            body, (sh, lam0, dp0), xs
         )
         stats["lam_final"] = lam_f
         return final, stats, dp_f

@@ -161,6 +161,7 @@ def packed_solve_loop(
     axis_name: str | None = None,
     lam0: jnp.ndarray | None = None,
     dp0: jnp.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[FactorGraph, dict]:
     """Scan ``cfg.iters`` packed optimizer steps (GN or LM) on device.
 
@@ -169,7 +170,8 @@ def packed_solve_loop(
     BASELINE configs 4-5 scale).  ``lam0`` restores the LM damping and
     ``dp0`` the warm-start delta (checkpoint resume — with ``dp0`` a
     resumed ``cg_warm_start`` run is iteration-exact); ``axis_name``
-    enables the sharded collectives.  ``stats["dp_final"]`` carries the
+    enables the sharded collectives.  ``start_iter`` offsets the GNC
+    annealing schedule on resume.  ``stats["dp_final"]`` carries the
     last outer delta for checkpointing (a [NP,3] array, not a per-
     iteration trace).
     """
@@ -177,32 +179,41 @@ def packed_solve_loop(
 
     if dp0 is None:
         dp0 = jnp.zeros((graph.n_poses, 3), graph.poses.dtype)
+    # GNC: the scan body receives its outer-iteration index so the robust
+    # threshold can anneal inside the single compiled program.  ``it0``
+    # (checkpoint resume) keeps the schedule aligned across restarts.
+    it0 = jnp.asarray(start_iter, jnp.int32)
+    xs = jnp.arange(cfg.iters, dtype=jnp.int32)
+
+    def kt_of(i):
+        return cfg.kt_at(it0 + i)
+
     if cfg.optimizer == "gn":
 
-        def body(carry, _):
+        def body(carry, i):
             g, dp_prev = carry
-            g, stats, dp = packed_gn_step(g, pk, cfg, dp_prev, axis_name)
+            g, stats, dp = packed_gn_step(
+                g, pk, cfg, dp_prev, axis_name, kt=kt_of(i)
+            )
             return (g, dp), stats
 
-        (final, dp_f), stats = jax.lax.scan(
-            body, (graph, dp0), None, length=cfg.iters
-        )
+        (final, dp_f), stats = jax.lax.scan(body, (graph, dp0), xs)
         stats["dp_final"] = dp_f
         return final, stats
 
     elif cfg.optimizer == "lm":
 
-        def body(carry, _):
+        def body(carry, i):
             g, lam, dp_prev = carry
             g, lam, stats, dp = packed_lm_step(
-                g, pk, cfg, lam, dp_prev, axis_name
+                g, pk, cfg, lam, dp_prev, axis_name, kt=kt_of(i)
             )
             return (g, lam, dp), stats
 
         if lam0 is None:
             lam0 = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
         (final, lam_f, dp_f), stats = jax.lax.scan(
-            body, (graph, lam0, dp0), None, length=cfg.iters
+            body, (graph, lam0, dp0), xs
         )
         stats["dp_final"] = dp_f
         # the NEXT trial's lambda (post-schedule), for chunked continuation
@@ -217,6 +228,7 @@ def solve_packed(
     cfg: SolverConfig,
     lam0: float | None = None,
     dp0: jnp.ndarray | None = None,
+    start_iter: int = 0,
 ) -> tuple[FactorGraph, dict]:
     """GN or LM solve on the dual-packed layout (large-scale path, PERF.md).
 
@@ -252,10 +264,14 @@ def solve_packed(
         dp0 = jnp.zeros((g_in.n_poses, 3), g_in.poses.dtype)
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def _solve(g, pk, cfg, lam, dp0):
-        return packed_solve_loop(g, pk, cfg, lam0=lam, dp0=dp0)
+    def _solve(g, pk, cfg, lam, dp0, start_iter):
+        return packed_solve_loop(
+            g, pk, cfg, lam0=lam, dp0=dp0, start_iter=start_iter
+        )
 
-    final, stats = _solve(g_in, pk, cfg, lam, dp0)
+    final, stats = _solve(
+        g_in, pk, cfg, lam, dp0, jnp.asarray(start_iter, jnp.int32)
+    )
     if inv is not None:
         final = graph.with_state(final.poses, final.landmarks[jnp.asarray(inv)])
     return final, stats

@@ -21,13 +21,22 @@ from boslam.config import SolverConfig
 
 
 def robust_weights(
-    chi2: jnp.ndarray, cfg: SolverConfig
+    chi2: jnp.ndarray, cfg: SolverConfig, kt=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-edge (w_H, w_b) from pre-kernel chi2 = e^T Omega e."""
+    """Per-edge (w_H, w_b) from pre-kernel chi2 = e^T Omega e.
+
+    ``kt`` optionally overrides ``cfg.kernel_threshold`` with a TRACED
+    scalar — graduated non-convexity anneals the threshold across outer
+    iterations inside one compiled scan (VERDICT r4 #2: the fixed
+    threshold of slam/solver.cpp:38-41 clamps loop closures to ~kt of
+    influence, freezing scale problems in the wrong basin).
+    """
     one = jnp.ones_like(chi2)
     if cfg.robust == "none":
         return one, one
-    kt = jnp.asarray(cfg.kernel_threshold, chi2.dtype)
+    kt = jnp.asarray(
+        cfg.kernel_threshold if kt is None else kt, chi2.dtype
+    )
     # sqrt(kt/chi), guarded against chi == 0 (weight is 1 below threshold
     # anyway, so the guard value never leaks into the result).
     w = jnp.sqrt(kt / jnp.maximum(chi2, jnp.finfo(chi2.dtype).tiny))
@@ -41,15 +50,18 @@ def robust_weights(
     raise ValueError(f"unknown robust kernel {cfg.robust!r}")
 
 
-def robust_cost(chi2: jnp.ndarray, cfg: SolverConfig) -> jnp.ndarray:
+def robust_cost(chi2: jnp.ndarray, cfg: SolverConfig, kt=None) -> jnp.ndarray:
     """rho(chi2) per edge — the objective actually minimized.
 
     For "threshold" the cost saturates at kt; for "huber" it grows as
     2*sqrt(kt*chi) - kt past the threshold; "none" is identity.
+    ``kt`` overrides the static threshold (see robust_weights).
     """
     if cfg.robust == "none":
         return chi2
-    kt = jnp.asarray(cfg.kernel_threshold, chi2.dtype)
+    kt = jnp.asarray(
+        cfg.kernel_threshold if kt is None else kt, chi2.dtype
+    )
     if cfg.robust == "threshold":
         return jnp.minimum(chi2, kt)
     if cfg.robust == "huber":

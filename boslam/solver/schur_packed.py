@@ -85,16 +85,17 @@ class PackedBlocks(NamedTuple):
     o_dst: jnp.ndarray  # i32[NO]
 
 
-def _bearing_slot_terms(p_slot, l_slot, meas, omega, cfg):
+def _bearing_slot_terms(p_slot, l_slot, meas, omega, cfg, kt=None):
     """Residual/Jacobian/weights for a [*, K] slot grid.
 
     ``p_slot`` f32[*, K, 3] poses per slot, ``l_slot`` f32[*, K, 2]
     landmarks per slot.  Padding slots (omega == 0) contribute zero.
+    ``kt`` optionally overrides the robust threshold (GNC annealing).
     """
     err = R.bearing_error_from(p_slot, l_slot, meas)
     jp, jl = R.bearing_jacobians_from(p_slot, l_slot)
     chi2 = omega * err * err
-    wH, wb = robust_weights(chi2, cfg)
+    wH, wb = robust_weights(chi2, cfg, kt)
     womega_H = omega * wH
     Hpp = womega_H[..., None, None] * jp[..., :, None] * jp[..., None, :]
     Hll = womega_H[..., None, None] * jl[..., :, None] * jl[..., None, :]
@@ -109,6 +110,7 @@ def build_packed_blocks(
     cfg: SolverConfig,
     damping,
     axis_name: str | None = None,
+    kt=None,
 ) -> tuple[PackedBlocks, dict]:
     NP_, NL = g.n_poses, g.n_landmarks
     dtype = g.poses.dtype
@@ -118,7 +120,7 @@ def build_packed_blocks(
     p_slot = jnp.broadcast_to(g.poses[:, None, :], (NP_, pk.p_lm.shape[1], 3))
     l_slot = _take(g.landmarks, pk.p_lm, pk.p_plan)  # gather (NP*K rows)
     (be_p, bchi2_p, Hpp_b, _Hll_p, Bp, bp_b, _bl_p) = _bearing_slot_terms(
-        p_slot, l_slot, pk.p_meas, pk.p_omega, cfg
+        p_slot, l_slot, pk.p_meas, pk.p_omega, cfg, kt
     )
     Hpp_diag = jnp.sum(Hpp_b, axis=1)
     bp = jnp.sum(bp_b, axis=1)
@@ -132,7 +134,7 @@ def build_packed_blocks(
     l_slot2 = jnp.broadcast_to(lm_rows[:, None, :], (NLV, pk.l_pose.shape[1], 2))
     p_slot2 = _take(g.poses, pk.l_pose, pk.l_plan)  # gather (NLV*K2 rows)
     (_be_l, _bchi2_l, _Hpp_l, Hll_b, Bl, _bp_l, bl_b) = _bearing_slot_terms(
-        p_slot2, l_slot2, pk.l_meas, pk.l_omega, cfg
+        p_slot2, l_slot2, pk.l_meas, pk.l_omega, cfg, kt
     )
     Hll = _lm_rows_sum(jnp.sum(Hll_b, axis=1), pk, NL)
     bl = _lm_rows_sum(jnp.sum(bl_b, axis=1), pk, NL)
@@ -151,7 +153,7 @@ def build_packed_blocks(
     ochi2 = sum(
         oev[i] * om[i][j] * oev[j] for i in range(3) for j in range(3)
     )
-    owH, owb = robust_weights(ochi2, cfg)
+    owH, owb = robust_weights(ochi2, cfg, kt)
 
     def quad(A, B):
         """A^T (owH*om) B as 3x3 lists of [NO] components."""
@@ -211,13 +213,14 @@ def build_packed_blocks(
         Hpp_diag = Hpp_diag + sums[:, :9].reshape(NP_, 3, 3)
         bp = bp + sums[:, 9:12]
 
+    ktv = cfg.kernel_threshold if kt is None else kt
     stats = {
         "chi2_bearing": jnp.sum(bchi2_p),
         "chi2_odometry": jnp.sum(ochi2),
-        "chi2_robust": jnp.sum(robust_cost(bchi2_p, cfg) * (pk.p_omega > 0))
-        + jnp.sum(robust_cost(ochi2, cfg) * (ochi2 > 0)),
-        "n_bearing_clamped": jnp.sum(bchi2_p > cfg.kernel_threshold),
-        "n_odometry_clamped": jnp.sum(ochi2 > cfg.kernel_threshold),
+        "chi2_robust": jnp.sum(robust_cost(bchi2_p, cfg, kt) * (pk.p_omega > 0))
+        + jnp.sum(robust_cost(ochi2, cfg, kt) * (ochi2 > 0)),
+        "n_bearing_clamped": jnp.sum(bchi2_p > ktv),
+        "n_odometry_clamped": jnp.sum(ochi2 > ktv),
     }
 
     # Complete the cross-shard reductions before damping/inversion.
@@ -497,13 +500,15 @@ def schur_packed_build_and_solve(
     damping,
     x0=None,
     axis_name: str | None = None,
+    kt=None,
 ):
     """Full linear solve on the packed layout; mirrors schur_build_and_solve.
 
     ``x0`` optionally warm-starts CG (the previous outer iteration's pose
-    delta — near convergence successive systems barely change).
+    delta — near convergence successive systems barely change).  ``kt``
+    overrides the robust threshold for this outer iteration (GNC).
     """
-    blocks, stats = build_packed_blocks(g, pk, cfg, damping, axis_name)
+    blocks, stats = build_packed_blocks(g, pk, cfg, damping, axis_name, kt)
     mask = _pose_mask(g.n_poses, g.fixed_pose_ix, g.poses.dtype)
 
     w0 = jnp.einsum("lij,lj->li", blocks.Hll_inv, blocks.bl)
@@ -555,6 +560,7 @@ def packed_robust_total(
     pk: PackedEdges,
     cfg: SolverConfig,
     axis_name: str | None = None,
+    kt=None,
 ) -> jnp.ndarray:
     """Total robust cost evaluated on the packed layout (no Jacobians).
 
@@ -572,8 +578,8 @@ def packed_robust_total(
     bchi2 = pk.p_omega * err * err
     oe = R.odometry_error(g.poses, g.o_src, g.o_dst, g.o_meas)
     ochi2 = jnp.einsum("ei,eij,ej->e", oe, g.o_omega, oe)
-    total = jnp.sum(robust_cost(bchi2, cfg) * (pk.p_omega > 0)) + jnp.sum(
-        robust_cost(ochi2, cfg) * (ochi2 > 0)
+    total = jnp.sum(robust_cost(bchi2, cfg, kt) * (pk.p_omega > 0)) + jnp.sum(
+        robust_cost(ochi2, cfg, kt) * (ochi2 > 0)
     )
     if axis_name is not None:
         total = jax.lax.psum(total, axis_name)
@@ -587,6 +593,7 @@ def packed_lm_step(
     lam,
     dp_prev=None,
     axis_name: str | None = None,
+    kt=None,
 ):
     """One LM trial on the packed layout: (g', lam', stats, dp).
 
@@ -603,12 +610,12 @@ def packed_lm_step(
 
     x0 = dp_prev if cfg.cg_warm_start else None
     dp, dl, stats, ok = schur_packed_build_and_solve(
-        g, pk, cfg, lam, x0, axis_name
+        g, pk, cfg, lam, x0, axis_name, kt
     )
     cand_poses, cand_landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     cand = g.with_state(cand_poses, cand_landmarks)
     cost_old = stats["chi2_robust"]
-    cost_new = packed_robust_total(cand, pk, cfg, axis_name)
+    cost_new = packed_robust_total(cand, pk, cfg, axis_name, kt)
     accept = jnp.logical_and(cost_new < cost_old, ok)
 
     poses = jnp.where(accept, cand.poses, g.poses)
@@ -623,6 +630,9 @@ def packed_lm_step(
     stats["spd_ok"] = ok
     stats["accepted"] = accept
     stats["damping"] = jnp.asarray(lam, g.poses.dtype)
+    stats["kt"] = jnp.asarray(
+        cfg.kernel_threshold if kt is None else kt, g.poses.dtype
+    )
     stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
     dp_next = jnp.where(accept, dp, jnp.zeros_like(dp))
     return g.with_state(poses, landmarks), new_lam, stats, dp_next
@@ -634,6 +644,7 @@ def packed_gn_step(
     cfg: SolverConfig,
     dp_prev=None,
     axis_name: str | None = None,
+    kt=None,
 ):
     """One GN iteration on the packed layout: (g', stats, dp).
 
@@ -644,12 +655,15 @@ def packed_gn_step(
 
     x0 = dp_prev if cfg.cg_warm_start else None
     dp, dl, stats, ok = schur_packed_build_and_solve(
-        g, pk, cfg, cfg.damping, x0, axis_name
+        g, pk, cfg, cfg.damping, x0, axis_name, kt
     )
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = dict(stats)
     stats["spd_ok"] = ok
     stats["accepted"] = jnp.asarray(True)
     stats["damping"] = jnp.asarray(cfg.damping, g.poses.dtype)
+    stats["kt"] = jnp.asarray(
+        cfg.kernel_threshold if kt is None else kt, g.poses.dtype
+    )
     stats["delta_norm"] = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dl * dl))
     return g.with_state(poses, landmarks), stats, dp

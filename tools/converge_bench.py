@@ -66,8 +66,10 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
     ccfg = cfg.replace(iters=chunk)
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def run_chunk(g, pk, cfg, lam, dp):
-        return packed_solve_loop(g, pk, cfg, lam0=lam, dp0=dp)
+    def run_chunk(g, pk, cfg, lam, dp, it0):
+        return packed_solve_loop(
+            g, pk, cfg, lam0=lam, dp0=dp, start_iter=it0
+        )
 
     g = graph
     lam = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
@@ -78,7 +80,9 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
     converged = False
     n_outer = 0
     while n_outer < max_outer:
-        g, stats = run_chunk(g, pk, ccfg, lam, dp)
+        g, stats = run_chunk(
+            g, pk, ccfg, lam, dp, jnp.asarray(n_outer, jnp.int32)
+        )
         chunk_chi2 = np.asarray(stats["chi2_robust"], np.float64)
         if compile_wall is None:
             compile_wall = time.perf_counter() - t0
@@ -95,6 +99,10 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
         )
         # chi2_robust is recorded at the START of each iteration; the
         # plateau test compares the chunk's first and last recorded values.
+        # While the GNC threshold is still annealing the objective itself
+        # is moving, so plateau detection starts after the schedule ends.
+        if n_outer < cfg.gnc_anneal_iters:
+            continue
         if len(chi2s) > chunk:
             prev, last = chi2s[-chunk - 1], chi2s[-1]
             if prev - last < plateau_rel * max(last, 1e-30):
@@ -199,6 +207,12 @@ def run_config(n_poses, args):
         loop_closures=args.loop_closures,
     )
     graph, meta = build_graph(ig, init="triangulate")
+    if args.pgo_init:
+        from boslam.init.pose_graph import pgo_initialize
+
+        t0 = time.time()
+        graph = pgo_initialize(graph)
+        log(f"pgo init: {time.time() - t0:.1f}s")
     cfg = SolverConfig(
         optimizer="lm",
         linear_solver="schur_cg",
@@ -208,6 +222,8 @@ def run_config(n_poses, args):
         cg_warm_start=True,
         lm_up=args.lm_up,
         lm_down=args.lm_down,
+        gnc_kt0=args.gnc_kt0,
+        gnc_anneal_iters=args.gnc_iters,
     )
     final, trace = run_packed_to_plateau(
         graph, cfg, args.max_outer, args.chunk, args.plateau_rel
@@ -238,7 +254,12 @@ def run_config(n_poses, args):
     rec = {
         "config": "converge",
         "name": f"synthetic_{n_poses}_packed_lm_to_plateau"
-        + (f"_lc{args.loop_closures}" if args.loop_closures else ""),
+        + (f"_lc{args.loop_closures}" if args.loop_closures else "")
+        + ("_pgo" if args.pgo_init else "")
+        + (f"_gnc{args.gnc_kt0:g}x{args.gnc_iters}" if args.gnc_kt0 else ""),
+        "pgo_init": bool(args.pgo_init),
+        "gnc_kt0": args.gnc_kt0,
+        "gnc_iters": args.gnc_iters,
         "loop_closures": args.loop_closures,
         "n_poses": graph.n_poses,
         "n_landmarks": graph.n_landmarks,
@@ -293,6 +314,12 @@ def main():
     ap.add_argument("--lm-down", type=float, default=0.1)
     ap.add_argument("--loop-closures", type=int, default=0,
                     help="extra odometry loop-closure edges in the synthetic")
+    ap.add_argument("--pgo-init", action="store_true",
+                    help="rotation-averaging + linear-translation init "
+                         "(boslam/init/pose_graph.py) before the solve")
+    ap.add_argument("--gnc-kt0", type=float, default=0.0,
+                    help="graduated non-convexity initial threshold (0=off)")
+    ap.add_argument("--gnc-iters", type=int, default=0)
     ap.add_argument("--crosscheck-max", type=int, default=10_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
