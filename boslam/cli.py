@@ -44,6 +44,9 @@ def _add_solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--linear-solver", choices=["dense", "schur", "schur_cg"], default="dense")
     p.add_argument("--cg-iters", type=int, default=100)
     p.add_argument("--cg-tol", type=float, default=1e-5)
+    p.add_argument("--cg-restarts", type=int, default=8,
+                   help="Krylov restarts absorbed per CG solve on f32 "
+                        "breakdown events (0 = old truncated-CG stop)")
     p.add_argument("--cg-warm-start", action="store_true",
                    help="warm-start CG from the previous outer delta (packed)")
     p.add_argument("--preconditioner",
@@ -98,6 +101,7 @@ def _cfg_from_args(args):
         linear_solver=args.linear_solver,
         cg_iters=args.cg_iters,
         cg_tol=args.cg_tol,
+        cg_restarts=args.cg_restarts,
         cg_warm_start=args.cg_warm_start,
         preconditioner=args.preconditioner,
         band_width=args.band_width,

@@ -60,6 +60,14 @@ class SolverConfig:
     linear_solver: str = "dense"  # "dense" | "schur" | "schur_cg"
     cg_iters: int = 100
     cg_tol: float = 1e-5
+    # Krylov restarts absorbed per CG solve before giving up: f32 roundoff
+    # surfaces non-positive curvature / indefinite-preconditioner events
+    # well before tight tolerances, and terminating there (the old
+    # truncated-CG behavior, kept at 0) stalls the outer iteration — the
+    # r4 flat 10k cross-check plateaued at chi2 6507 vs packed 5234 for
+    # exactly this reason (VERDICT r4 #5).  On an event the Krylov space
+    # is restarted from steepest descent; healthy solves are unaffected.
+    cg_restarts: int = 8
     # PCG preconditioner for the reduced camera system:
     # "block_jacobi": exact 3x3 diag(S) blocks (always available).
     # "btridiag":     block-tridiagonal T = tridiag(diag(S), odometry band)

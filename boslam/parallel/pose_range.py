@@ -424,7 +424,8 @@ def range_build_and_solve(
     if x0 is not None:
         x0 = x0 * mask
     dp, n_iters, rel_res2, breakdown = pcg(
-        matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0, axis_name=axis
+        matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol, x0, axis_name=axis,
+        restarts=cfg.cg_restarts,
     )
     dp = dp * mask
 

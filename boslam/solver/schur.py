@@ -251,7 +251,7 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None,
-        axis_name: str | None = None):
+        axis_name: str | None = None, restarts: int = 0):
     """Preconditioned conjugate gradients over pose-block arrays f32[NP,3].
 
     ``precond`` is either a batched 3x3 block-inverse array (block-Jacobi)
@@ -259,24 +259,28 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None,
     ``x0`` warm-starts the iteration (default zeros).  Fixed-shape
     while_loop (XLA-friendly); terminates on relative residual or iteration
     cap.  Returns (x, n_iters, final_rel_residual2, breakdown) — ``breakdown``
-    is True when the iteration stopped on non-positive curvature or an
-    indefinite preconditioner apply rather than on tolerance/cap, so scale
-    runs can detect a poisoned preconditioner instead of inferring it from
-    cg_rel_res2.
+    is True when a non-positive curvature / indefinite-preconditioner event
+    occurred, so scale runs can detect a poisoned preconditioner instead of
+    inferring it from cg_rel_res2.
 
     ``axis_name``: when the CG VECTORS themselves are sharded across a mesh
     axis (pose-range layout, boslam/parallel/pose_range.py) the dot
     products are local partials completed with a scalar psum; the edge-
     sharded layouts keep replicated vectors and leave this None.
 
-    Breakdown-safe (truncated/Steihaug CG): if f32 roundoff surfaces
-    non-positive curvature (p^T A p <= 0) the step is skipped and the
-    iteration stops at the current iterate; if the preconditioned product
-    r^T z goes non-positive (an indefinite preconditioner apply) it stops
-    after the current (still valid) x-update.  The old
-    ``max(p^T A p, tiny)`` guard instead turned breakdown into a 1e38
-    alpha -> inf -> NaN cascade that the outer NaN guard silently zeroed —
-    the scale-regime solve was a no-op (caught on 10k-pose synthetics).
+    Breakdown handling (VERDICT r4 #5 — the flat 10k cross-check stalled
+    at ~34 matvecs because breakdown TERMINATED the iteration): f32
+    roundoff can surface non-positive curvature (p^T A p <= 0) or an
+    indefinite preconditioner apply (r^T z <= 0) long before the
+    tolerance.  With ``restarts > 0`` such an event now RESTARTS the
+    Krylov space instead of stopping — the x-update is skipped (curvature
+    case), the direction is reset to the (un)preconditioned steepest
+    descent p = z (or p = r when the preconditioner itself was
+    indefinite on r), and the conjugacy history is dropped; up to
+    ``restarts`` events are absorbed before the iteration stops.  Healthy
+    CG is bit-identical to before (the restart branch never executes).
+    With ``restarts == 0`` the old truncated/Steihaug behavior is kept:
+    stop at the event and return the best-residual iterate.
     """
     if callable(precond):
         apply_m = precond
@@ -296,13 +300,13 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None,
     b2 = jnp.maximum(dot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
 
     def cond(state):
-        _, r, _, _, k, rz, stop, _xb, _rb = state
-        return jnp.logical_not(stop) & (k < max_iters) & (
+        _, r, _, _, k, rz, nbrk, _xb, _rb = state
+        return (nbrk <= restarts) & (k < max_iters) & (
             dot(r, r) / b2 > tol * tol
         )
 
     def body(state):
-        x, r, z, p, k, rz, _stop, x_best, rr_best = state
+        x, r, z, p, k, rz, nbrk, x_best, rr_best = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
         curv_ok = pAp > 0
@@ -320,26 +324,100 @@ def pcg(matvec, rhs, precond, max_iters: int, tol: float, x0=None,
         z = apply_m(r)
         rz_new = dot(r, z)
         rz_ok = rz_new > 0
-        beta = jnp.where(rz_ok, rz_new, 0.0) / jnp.maximum(
+        healthy = curv_ok & rz_ok
+        # healthy: conjugate update.  curvature event: restart p = z.
+        # indefinite-preconditioner event: restart p = r (drop M entirely
+        # for this direction — r^T r > 0 always).
+        beta = jnp.where(healthy, rz_new, 0.0) / jnp.maximum(
             rz, jnp.finfo(rhs.dtype).tiny
         )
-        p = z + beta * p
-        stop = jnp.logical_not(curv_ok & rz_ok)
-        return x, r, z, p, k + 1, rz_new, stop, x_best, rr_best
+        z_eff = jnp.where(rz_ok, z, r)
+        rz_eff = jnp.where(rz_ok, rz_new, rr)
+        p = z_eff + beta * p
+        nbrk = nbrk + jnp.where(healthy, 0, 1)
+        return x, r, z_eff, p, k + 1, rz_eff, nbrk, x_best, rr_best
 
     # An indefinite FIRST preconditioner apply (rz0 <= 0 with a nonzero
-    # residual) means z0 is not a descent direction: stop immediately at x0.
-    stop0 = jnp.logical_and(rz0 <= 0, dot(r0, r0) / b2 > tol * tol)
-    x, r, _, _, k, _, stop, x_best, rr_best = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rz0, stop0, x0, dot(r0, r0))
+    # residual): z0 is not a descent direction — restart from r0 (counted),
+    # or stop immediately when restarts are disabled.
+    first_bad = jnp.logical_and(rz0 <= 0, dot(r0, r0) / b2 > tol * tol)
+    rr0 = dot(r0, r0)
+    d0 = jnp.where(first_bad, r0, z0)
+    rz_start = jnp.where(first_bad, rr0, rz0)
+    nbrk0 = jnp.where(first_bad, 1, 0)
+    x, r, _, _, k, _, nbrk, x_best, rr_best = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, d0, jnp.asarray(0), rz_start, nbrk0, x0, rr0)
     )
+    breakdown = nbrk > 0
     # Healthy CG: return the LAST iterate (minimal A-norm error; the
     # residual norm legitimately oscillates, so "best residual" would
-    # regress it).  Breakdown: the last step can be garbage — return the
-    # best-residual iterate instead.
-    x_out = jnp.where(stop, x_best, x)
-    rr_out = jnp.where(stop, rr_best, dot(r, r))
-    return x_out, k, rr_out / b2, stop
+    # regress it).  After any breakdown event the last step can be garbage
+    # — return the best-residual iterate instead.
+    x_out = jnp.where(breakdown, x_best, x)
+    rr_out = jnp.where(breakdown, rr_best, dot(r, r))
+    return x_out, k, rr_out / b2, breakdown
+
+
+def flat_chain_band(blocks: SchurBlocks, g: FactorGraph,
+                    axis_name: str | None = None) -> jnp.ndarray:
+    """f32[NP-1, 3, 3] odometry-chain band from the flat edge arrays.
+
+    The coupling block between poses i and i+1, summed over every
+    consecutive-pair odometry edge (the dominant SLAM topology,
+    slam/solver.cpp:48-62); non-consecutive edges are excluded — they
+    affect preconditioner quality only, never correctness.  Mirrors the
+    packed path's _chain_band so the flat schur_cg path can use the same
+    chain preconditioners (VERDICT r4 #5: the flat path was pinned to
+    block-Jacobi, whose breakdown stalled the 10k cross-check).
+    """
+    NP_ = g.n_poses
+    is_band = (g.o_dst == g.o_src + 1)[:, None, None]
+    band = jax.ops.segment_sum(
+        blocks.Ho_sd * is_band.astype(blocks.Ho_sd.dtype),
+        g.o_src,
+        num_segments=NP_ - 1,
+    )
+    if axis_name is not None:
+        band = jax.lax.psum(band, axis_name)
+    return band
+
+
+def _flat_preconditioner(
+    blocks: SchurBlocks,
+    g: FactorGraph,
+    cfg: SolverConfig,
+    mask: jnp.ndarray,
+    axis_name: str | None = None,
+):
+    """PCG preconditioner for the flat Schur path — the same menu as the
+    packed path (schur_packed._packed_preconditioner): exact block-Jacobi
+    diag(S), the PD-clamped block-tridiagonal chain solve, or the
+    two-level chain scheme.  "auto" follows the measured packed rule
+    (chain solve below ~32k poses, block-Jacobi above)."""
+    NP_ = g.n_poses
+    which = cfg.preconditioner
+    if which == "auto":
+        which = "btridiag" if NP_ <= 32768 and NP_ > 1 else "block_jacobi"
+    d = s_diag_blocks(blocks, g, axis_name=axis_name)
+    eye3 = jnp.eye(3, dtype=d.dtype)
+    d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
+    if which in ("block_jacobi", "bband") or NP_ <= 1:
+        # bband is a packed-layout experiment; the flat path maps it to
+        # its measured-better neighbor rather than erroring.
+        return _inv3x3(d)
+    band = flat_chain_band(blocks, g, axis_name)
+    band = band * (mask[:-1, :, None] * mask[1:, :, None])
+    if which == "two_level":
+        from boslam.solver.two_level import two_level_factor, two_level_solve
+
+        q = int(cfg.coarse_q) or max(8, min(128, 1 << (NP_.bit_length() // 2)))
+        factor = two_level_factor(d, band, q, mask, cycle=cfg.two_level_cycle)
+        return lambda r: two_level_solve(factor, r)
+    from boslam.solver.btridiag import btridiag_factor, btridiag_solve
+
+    # clamp_band < 1/2: provably PD scaled factorization (solver/btridiag.py)
+    factor = btridiag_factor(d, band, clamp_band=0.4999)
+    return lambda r: btridiag_solve(factor, r)
 
 
 def dense_reduced_system(
@@ -534,10 +612,11 @@ def schur_build_and_solve(
             corr = jax.lax.psum(corr, axis_name)
         rhs = (-blocks.bp + corr) * mask
 
-        precond_inv = _inv3x3(s_diag_blocks(blocks, g, axis_name=axis_name))
+        precond = _flat_preconditioner(blocks, g, cfg, mask, axis_name)
         matvec = lambda x: s_matvec(blocks, g, x, mask, axis_name=axis_name)
         dp, n_iters, rel_res2, breakdown = pcg(
-            matvec, rhs, precond_inv, cfg.cg_iters, cfg.cg_tol
+            matvec, rhs, precond, cfg.cg_iters, cfg.cg_tol,
+            restarts=cfg.cg_restarts,
         )
         extra = {
             "cg_iters": n_iters,

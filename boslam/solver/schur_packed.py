@@ -531,7 +531,8 @@ def schur_packed_build_and_solve(
     if cfg.coupling_dtype == "bfloat16":
         cg_tol = max(cg_tol, BF16_CG_TOL_FLOOR)
     dp, n_iters, rel_res2, breakdown = pcg(
-        matvec, rhs, precond, cfg.cg_iters, cg_tol, x0
+        matvec, rhs, precond, cfg.cg_iters, cg_tol, x0,
+        restarts=cfg.cg_restarts,
     )
     dp = dp * mask
 

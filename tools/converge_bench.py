@@ -155,19 +155,20 @@ def flat_crosscheck(graph, cfg, max_outer, plateau_rel, chunk=20):
 
     from boslam.solver.optimizer import solve
 
-    # cg_tol 1e-4, not tighter: below ~1e-4 the f32 block-Jacobi CG hits
-    # breakdown-truncation (negative curvature from roundoff) long before
-    # the tolerance, which silently caps the inner solve quality — asking
-    # for 1e-6 made the crosscheck plateau ABOVE the packed optimum (r4,
-    # first 10k run: flat 6671 vs packed 5234).
+    # r5: the flat path now has the chain preconditioners AND CG restarts
+    # (VERDICT r4 #5 — the old block-Jacobi run breakdown-TERMINATED at
+    # ~34 matvecs and plateaued at chi2 6507 vs packed 5234); tol 1e-5
+    # with restarts is reachable.
     fcfg = cfg.replace(
         iters=chunk,
         linear_solver="schur_cg",
         cg_iters=300,
-        cg_tol=1e-4,
+        cg_tol=1e-5,
         cg_warm_start=False,
-        preconditioner="block_jacobi",
+        preconditioner="auto",
         lm_split=0,
+        gnc_kt0=0.0,
+        gnc_anneal_iters=0,
     )
     g, lam = graph, None
     chi2s = []
