@@ -94,17 +94,38 @@ def main():
     # kept to re-place the donated buffers for each repeat.
     host_graph = jax.tree.map(np.asarray, graph)
     place = lambda: jax.tree.map(jax.numpy.asarray, host_graph)
-    step = jax.jit(lambda g: gn_step(g, cfg), donate_argnums=0)
+
+    # r5: with the whole-GN-step mega-kernel (ops/pallas_gn_step.py) the
+    # 50-iteration solve is ONE compiled program — a lax.scan whose body
+    # is a single Pallas launch — so the per-step Python dispatch loop
+    # (r3/r4 protocol, a workaround for remote-compile stalls on LARGE
+    # programs) is no longer needed: the scan program holds one small
+    # kernel and compiles reliably.
+    from boslam.solver.optimizer import _fused_step_applicable, solve_loop
+
+    fused = _fused_step_applicable(graph, cfg)
+    log(f"fused mega-kernel path: {fused}")
+    if fused:
+        run = jax.jit(lambda g: solve_loop(g, cfg), donate_argnums=0)
+
+        def run_once(g):
+            g2, _stats = run(g)
+            return g2
+    else:
+        step = jax.jit(lambda g: gn_step(g, cfg), donate_argnums=0)
+
+        def run_once(g):
+            for _ in range(ITERS):
+                g, _stats = step(g)
+            return g
 
     # compile (excluded, like refbench's analyzePattern warm-up step)
     t0 = time.perf_counter()
-    jax.block_until_ready(step(place())[0].poses)
-    log(f"gn_step compile: {time.perf_counter() - t0:.2f}s")
+    jax.block_until_ready(run_once(place()).poses)
+    log(f"solve compile: {time.perf_counter() - t0:.2f}s")
 
     # correctness: run the full 50-iteration solve once and check the optimum
-    g = place()
-    for _ in range(ITERS):
-        g, stats = step(g)
+    g = run_once(place())
     final_terms = jax.jit(lambda g: chi2_stats(edge_terms(g, cfg), cfg))(g)
     chi2 = float(np.asarray(final_terms["chi2_robust"]))
     rel = abs(chi2 - REF_CHI2) / REF_CHI2
@@ -122,8 +143,7 @@ def main():
     while len(times) < 20 and (len(times) < REPEATS or stale < 3):
         g = place()
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            g, _stats = step(g)
+        g = run_once(g)
         _ = float(np.asarray(g.poses).sum())
         t = time.perf_counter() - t0
         stale = stale + 1 if times and t >= min(times) else 0

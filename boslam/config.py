@@ -160,6 +160,15 @@ class SolverConfig:
     assembly: str = "auto"  # "auto" | "scatter" | "matmul"
     matmul_assembly_budget: int = 40_000_000  # max E*N elements for "auto"
 
+    # --- whole-step mega-kernel (boslam/ops/pallas_gn_step.py) ---
+    # "auto": on TPU backends, GN + exact-Schur small problems run the
+    #         entire iteration (edge terms -> one-hot assembly -> Schur ->
+    #         Cholesky -> boxplus -> stats) as ONE Pallas launch.
+    # "off":  always the unfused XLA path.
+    # "force": use it regardless of backend (interpret mode off-TPU; for
+    #          parity tests).
+    fused_step: str = "auto"  # "auto" | "off" | "force"
+
     # --- dense linear-solve backend ---
     # "xla":    jax.scipy cho_factor/cho_solve (many small kernels).
     # "pallas": single fused VMEM-resident blocked Cholesky kernel

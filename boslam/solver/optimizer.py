@@ -35,10 +35,33 @@ def _build_and_solve(g: FactorGraph, cfg: SolverConfig, damping, axis_name=None)
     raise ValueError(f"unknown linear_solver {cfg.linear_solver!r}")
 
 
+def _fused_step_applicable(g: FactorGraph, cfg: SolverConfig) -> bool:
+    """Gate for the single-launch GN mega-kernel (VERDICT r4 #3)."""
+    if cfg.fused_step == "off" or cfg.linear_solver != "schur":
+        return False
+    if cfg.use_autodiff_jacobians or cfg.robust not in (
+        "threshold", "huber", "none"
+    ):
+        return False
+    from boslam.ops.pallas_gn_step import fused_gn_fits
+
+    if not fused_gn_fits(g.n_poses, g.n_landmarks, g.n_bearing, g.n_odometry):
+        return False
+    if cfg.fused_step == "force":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def gn_step(
     g: FactorGraph, cfg: SolverConfig, axis_name: str | None = None
 ) -> tuple[FactorGraph, dict]:
     """One constant-damping GN iteration (``Solver::step``, solver.cpp:27-97)."""
+    if axis_name is None and _fused_step_applicable(g, cfg):
+        from boslam.ops.pallas_gn_step import fused_gn_step
+
+        return fused_gn_step(
+            g, cfg, interpret=jax.default_backend() == "cpu"
+        )
     dp, dl, terms, spd_ok, extra = _build_and_solve(g, cfg, cfg.damping, axis_name)
     poses, landmarks = boxplus_state(g.poses, g.landmarks, dp, dl)
     stats = chi2_stats(terms, cfg, axis_name)
@@ -112,6 +135,14 @@ def solve_loop(
     ``lam0`` overrides the initial LM damping (checkpoint resume).
     """
     if cfg.optimizer == "gn":
+        if axis_name is None and _fused_step_applicable(graph, cfg):
+            # whole-solve fused path: static prep once, scan of single-
+            # launch GN mega-kernels (VERDICT r4 #3)
+            from boslam.ops.pallas_gn_step import fused_gn_solve
+
+            return fused_gn_solve(
+                graph, cfg, interpret=jax.default_backend() == "cpu"
+            )
 
         def body(g, _):
             g, stats = gn_step(g, cfg, axis_name)

@@ -35,7 +35,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
+def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel,
+                          coarse_every=0, coarse_seg=64, coarse_rounds=3):
     """Chunked packed LM until the chi2 trace flattens.
 
     Returns (final_graph, trace dict).  Plateau: relative chi2 improvement
@@ -79,7 +80,33 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
     compile_wall = None
     converged = False
     n_outer = 0
+    n_coarse = 0
     while n_outer < max_outer:
+        if coarse_every and n_outer % coarse_every == 0:
+            # rigid-segment coarse correction (solver/coarse.py): moves
+            # the long-wavelength bending modes the damped f32 fine
+            # iteration provably cannot (PERF.md r5).  kt follows the
+            # GNC schedule so outlier handling matches the fine phase.
+            from boslam.solver.coarse import coarse_correct
+
+            ktv = cfg.kt_at(n_outer)
+            ktf = float(ktv) if ktv is not None else (
+                cfg.kernel_threshold if cfg.robust != "none" else None
+            )
+            tc0 = time.perf_counter()
+            g, cinfo = coarse_correct(
+                g, seg=coarse_seg, rounds=coarse_rounds, kt=ktf
+            )
+            n_coarse += 1
+            log(
+                f"  coarse @{n_outer}: cost "
+                f"{cinfo['cost_trace'][0]:.1f} -> "
+                f"{cinfo['cost_trace'][-1]:.1f} "
+                f"({time.perf_counter() - tc0:.1f}s)"
+            )
+            # the nonlinear jump invalidates the CG warm start + LM trust
+            dp = jnp.zeros((graph.n_poses, 3), graph.poses.dtype)
+            lam = jnp.asarray(cfg.lm_lambda0, graph.poses.dtype)
         g, stats = run_chunk(
             g, pk, ccfg, lam, dp, jnp.asarray(n_outer, jnp.int32)
         )
@@ -118,6 +145,7 @@ def run_packed_to_plateau(graph, cfg, max_outer, chunk, plateau_rel):
                     break
     wall = time.perf_counter() - t0
     return g, {
+        "n_coarse_corrections": n_coarse,
         "final_cg_tol": ccfg.cg_tol,
         "outer_iters": n_outer,
         "converged": converged,
@@ -217,6 +245,7 @@ def run_config(n_poses, args):
     cfg = SolverConfig(
         optimizer="lm",
         linear_solver="schur_cg",
+        kernel_threshold=args.kernel_threshold,
         cg_iters=args.cg_iters,
         cg_tol=args.cg_tol,
         preconditioner=args.preconditioner,
@@ -227,7 +256,9 @@ def run_config(n_poses, args):
         gnc_anneal_iters=args.gnc_iters,
     )
     final, trace = run_packed_to_plateau(
-        graph, cfg, args.max_outer, args.chunk, args.plateau_rel
+        graph, cfg, args.max_outer, args.chunk, args.plateau_rel,
+        coarse_every=args.coarse_every, coarse_seg=args.coarse_seg,
+        coarse_rounds=args.coarse_rounds,
     )
 
     # landmark RMSE over LOCALIZABLE landmarks only: single-observation
@@ -257,6 +288,8 @@ def run_config(n_poses, args):
         "name": f"synthetic_{n_poses}_packed_lm_to_plateau"
         + (f"_lc{args.loop_closures}" if args.loop_closures else "")
         + ("_pgo" if args.pgo_init else "")
+        + (f"_coarse{args.coarse_every}s{args.coarse_seg}"
+           if args.coarse_every else "")
         + (f"_gnc{args.gnc_kt0:g}x{args.gnc_iters}" if args.gnc_kt0 else ""),
         "pgo_init": bool(args.pgo_init),
         "gnc_kt0": args.gnc_kt0,
@@ -267,6 +300,7 @@ def run_config(n_poses, args):
         "n_edges": graph.n_bearing + graph.n_odometry,
         "cg_tol": args.cg_tol,
         "cg_cap": args.cg_iters,
+        "kernel_threshold": args.kernel_threshold,
         "preconditioner": args.preconditioner,
         "lm_up": args.lm_up,
         **trace,
@@ -321,6 +355,19 @@ def main():
     ap.add_argument("--gnc-kt0", type=float, default=0.0,
                     help="graduated non-convexity initial threshold (0=off)")
     ap.add_argument("--gnc-iters", type=int, default=0)
+    # The reference's default kt=1.0 (slam/solver.cpp:16) is statistically
+    # miscalibrated for the synthetic's noise: at 100k/lc1000 the GROUND
+    # TRUTH costs 47.7k under min(chi2,1) (odometry inliers have chi2~0.5,
+    # 13% clamped) while the odometry-integrated bent map costs ~2.3k —
+    # the fixed threshold GLOBALLY prefers writing the 1000 closures off.
+    # Loop closures are effective only when kt > (inlier noise cost)/
+    # (closure count); kt=100 clamps nothing in the straight basin here.
+    ap.add_argument("--kernel-threshold", type=float, default=1.0)
+    ap.add_argument("--coarse-every", type=int, default=0,
+                    help="apply the rigid-segment coarse correction every "
+                         "N outers (0 = off; solver/coarse.py)")
+    ap.add_argument("--coarse-seg", type=int, default=64)
+    ap.add_argument("--coarse-rounds", type=int, default=3)
     ap.add_argument("--crosscheck-max", type=int, default=10_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
