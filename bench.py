@@ -106,7 +106,12 @@ def main():
     fused = _fused_step_applicable(graph, cfg)
     log(f"fused mega-kernel path: {fused}")
     if fused:
-        run = jax.jit(lambda g: solve_loop(g, cfg), donate_argnums=0)
+        from boslam.ops.pallas_gn_step import detect_odo_chain
+
+        oc = detect_odo_chain(graph)
+        run = jax.jit(
+            lambda g: solve_loop(g, cfg, odo_chain=oc), donate_argnums=0
+        )
 
         def run_once(g):
             g2, _stats = run(g)

@@ -140,7 +140,9 @@ def cmd_solve(args) -> int:
     if getattr(args, "pgo_init", False):
         from boslam.init.pose_graph import pgo_initialize
 
-        graph = pgo_initialize(graph)
+        graph = pgo_initialize(
+            graph, landmark_rounds=getattr(args, "pgo_lm_rounds", 0)
+        )
         print("pose-graph init applied (rotation averaging + linear "
               "translation + re-triangulation)", file=sys.stderr)
 
@@ -489,6 +491,9 @@ def main(argv=None) -> int:
                     help="rotation-averaging + linear-translation pose-graph "
                          "initialization before the solve (re-triangulates "
                          "landmarks; boslam/init/pose_graph.py)")
+    ps.add_argument("--pgo-lm-rounds", type=int, default=0,
+                    help="virtual-closure (landmark re-observation) rounds "
+                         "of the linear init (scale problems: 2)")
     ps.add_argument("--out", default=None, help="write optimized g2o")
     ps.add_argument("--save", default=None, help="write npz checkpoint")
     ps.add_argument("--resume", default=None,

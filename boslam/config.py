@@ -116,6 +116,13 @@ class SolverConfig:
     # scan loop).  Off by default: keeps per-step parity with the flat path.
     cg_warm_start: bool = False
 
+    # Row-chunked CG matvec (packed path): bound the (8,128)-tile-padded
+    # slot-gather intermediates ([R,K,3] pads ~42x its data — the measured
+    # ~8 KB/pose temp slope that capped the 1M single-chip run, VERDICT
+    # r4 #7) by scanning the matvec over row chunks of this size.  0 = off
+    # (small problems: chunking only adds loop latency).
+    matvec_row_chunk: int = 0
+
     # --- packed-path gather strategy ---
     # "take":     plain index gathers.  Measured on TPU v5e: XLA fuses
     #             gathers into their consumers (the slot einsums), making

@@ -184,6 +184,23 @@ def _pad128(n: int) -> int:
     return max(B, ((n + B - 1) // B) * B)
 
 
+def detect_odo_chain(graph) -> bool:
+    """Host-side: True when odometry is exactly the full i->i+1 chain AND
+    the padded edge count covers the padded pose count (the banded
+    coupling write indexes hsd[0:NPp]).  Must be called on a CONCRETE
+    graph (outside jit) — callers pass the result down as a static flag."""
+    o_src = np.asarray(graph.o_src)
+    o_dst = np.asarray(graph.o_dst)
+    n = graph.n_poses
+    if len(o_src) != n - 1:
+        return False
+    if _pad128(len(o_src)) < _pad128(n):
+        return False
+    return bool(
+        (o_src == np.arange(n - 1)).all() and (o_dst == o_src + 1).all()
+    )
+
+
 def fused_gn_fits(n_poses: int, n_landmarks: int, n_bearing: int,
                   n_odometry: int) -> bool:
     """Static size gate for the mega-kernel path."""
@@ -236,7 +253,8 @@ def _chol_rec(A):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk):
+def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk,
+                 odo_chain=False):
     Np, Ml = 3 * NPp, 2 * NLp
     nb = Np // B
 
@@ -508,7 +526,38 @@ def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk):
         for i in range(3):
             for j in range(3):
                 hsd[i][j] = quad(js, jd, i, j)
-        for ci in range(3 if "odocross" not in _SKIP else 0):
+        if odo_chain and "odocross" not in _SKIP:
+            # Chain topology (src == e, dst == e + 1 — the reference
+            # dataset and the generator): the coupling block lands on the
+            # FIRST OFF-DIAGONAL of each [NPp, NPp] component block, so
+            # the 18 scaled-one-hot matmuls collapse to one masked VPU
+            # broadcast per component (~100x fewer cycles).
+            rid_o = jax.lax.broadcasted_iota(jnp.int32, (NPp, NPp), 0)
+            cid_o = jax.lax.broadcasted_iota(jnp.int32, (NPp, NPp), 1)
+            upper = (cid_o == rid_o + 1).astype(jnp.float32)
+            lower = (rid_o == cid_o + 1).astype(jnp.float32)
+            for ci in range(3):
+                for cj in range(3):
+                    # edge e couples (row e, col e+1); hsd is [NOp, 1]
+                    # with NOp >= NPp - 1 and zero-padded edges
+                    hv = hsd[ci][cj][0 : NPp, :]  # [NPp, 1]
+                    S_scr[
+                        ci * NPp : (ci + 1) * NPp, cj * NPp : (cj + 1) * NPp
+                    ] = S_scr[
+                        ci * NPp : (ci + 1) * NPp, cj * NPp : (cj + 1) * NPp
+                    ] + upper * hv
+                    # transpose block: (row e+1, col e) gets hsd[e] —
+                    # shift the vector down one row via the lower mask
+                    # indexed by column: value at (r, c) = hsd[c]
+                    hvT = jnp.transpose(hv)  # [1, NPp]
+                    S_scr[
+                        cj * NPp : (cj + 1) * NPp, ci * NPp : (ci + 1) * NPp
+                    ] = S_scr[
+                        cj * NPp : (cj + 1) * NPp, ci * NPp : (ci + 1) * NPp
+                    ] + lower * hvT
+        for ci in range(
+            3 if (not odo_chain and "odocross" not in _SKIP) else 0
+        ):
             for cj in range(3):
                 S_scr[
                     ci * NPp : (ci + 1) * NPp, cj * NPp : (cj + 1) * NPp
@@ -728,22 +777,28 @@ def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NP_", "NL", "NB", "NO", "robust", "quirk", "interpret"),
+    static_argnames=(
+        "NP_", "NL", "NB", "NO", "robust", "quirk", "odo_chain", "interpret"
+    ),
 )
 def _fused_gn_call(
     posesT, lmsT, bdat, odat, maskc, scal,
-    NP_, NL, NB, NO, robust, quirk, interpret=False,
+    NP_, NL, NB, NO, robust, quirk, odo_chain=False, interpret=False,
 ):
     NPp, NLp = posesT.shape[1], lmsT.shape[1]
     NOp = odat.shape[0]
     Np, Ml = 3 * NPp, 2 * NLp
     nb = Np // B
     NBp = bdat.shape[0]
-    CH = min(MAX_CHUNK, NBp)
-    n_chunks = NBp // CH
+    # balanced 128-aligned chunks: ceil-split instead of padding NBp up
+    # to a MAX_CHUNK multiple (the old rule padded 2176 -> 2560 at
+    # reference scale — 15% dead bearing work)
+    n_chunks = -(-NBp // MAX_CHUNK)
+    CH = NBp // n_chunks
 
     kern = _make_kernel(
-        NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk
+        NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk,
+        odo_chain=odo_chain,
     )
     return pl.pallas_call(
         kern,
@@ -785,8 +840,10 @@ def _prep_static(g):
     NPp, NLp = _pad128(NP_), _pad128(NL)
     NOp = _pad128(NO)
     NBp = _pad128(NB)
-    CH = min(MAX_CHUNK, NBp)
-    NBp = ((NBp + CH - 1) // CH) * CH
+    n_chunks = -(-NBp // MAX_CHUNK)
+    # chunks must be equal and 128-aligned: round NBp up to n_chunks*128k
+    CH = _pad128(-(-NBp // n_chunks))
+    NBp = n_chunks * CH
 
     def padn(x, n):
         return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
@@ -822,7 +879,7 @@ def _prep_static(g):
     return posesT, lmsT, bdat, odat, maskc
 
 
-def fused_gn_solve(g, cfg, interpret: bool = False):
+def fused_gn_solve(g, cfg, odo_chain: bool = False, interpret: bool = False):
     """``cfg.iters`` fused GN steps as a lax.scan of mega-kernel launches.
 
     The static edge data is prepped ONCE and closed over; the scan body is
@@ -840,7 +897,8 @@ def fused_gn_solve(g, cfg, interpret: bool = False):
             pT, lT, bdat, odat, maskc, scal,
             NP_=g.n_poses, NL=g.n_landmarks, NB=g.n_bearing,
             NO=g.n_odometry, robust=cfg.robust,
-            quirk=bool(cfg.reference_kernel_quirk), interpret=interpret,
+            quirk=bool(cfg.reference_kernel_quirk), odo_chain=odo_chain,
+            interpret=interpret,
         )
         ok = jnp.logical_and(
             jnp.all(jnp.isfinite(npT)), jnp.all(jnp.isfinite(nlT))

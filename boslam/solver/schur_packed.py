@@ -290,12 +290,41 @@ def _odometry_coupling(blocks: PackedBlocks, pk: PackedEdges, xm, NP_: int,
     return y
 
 
+def _chunked_rows(fn, arrs, n_rows: int, chunk: int, out_width: int):
+    """Scan ``fn`` over row-chunks of the leading axis of every array in
+    ``arrs`` (full chunks via lax.scan + one remainder call), stacking the
+    [chunk, out_width] results back to [n_rows, out_width].
+
+    Purpose (VERDICT r4 #7): the slot-grid gather intermediates
+    ([R, K, 3] etc.) are (8,128)-tile-padded on their 3-wide minor dim —
+    ~42x their data — and the CG while-loop keeps two of them live, the
+    measured ~8 KB/pose temp slope that capped the 1M single-chip run at
+    8.08 GB.  Chunking bounds the padded intermediate to chunk-size.
+    """
+    import jax.lax as lax
+
+    n_full = n_rows // chunk
+    rem = n_rows - n_full * chunk
+
+    def body(_, i):
+        sl = [lax.dynamic_slice_in_dim(a, i * chunk, chunk, 0) for a in arrs]
+        return None, fn(*sl)
+
+    _, zs = lax.scan(body, None, jnp.arange(n_full))
+    out = zs.reshape(n_full * chunk, out_width)
+    if rem:
+        tail = fn(*[a[n_full * chunk :] for a in arrs])
+        out = jnp.concatenate([out, tail], axis=0)
+    return out
+
+
 def packed_s_matvec(
     blocks: PackedBlocks,
     pk: PackedEdges,
     x,
     mask,
     axis_name: str | None = None,
+    row_chunk: int = 0,
 ):
     """y = S_masked @ x with two row-gathers and zero scatters (chain case).
 
@@ -314,16 +343,35 @@ def packed_s_matvec(
     NP_ = x.shape[0]
 
     # z = Hlp @ x  (landmark-packed: gather x by slot pose, sum local slots)
-    xg = _take(xm, pk.l_pose, pk.l_plan)  # [NLV, K2, 3]
-    z = _couple("lkij,lki->lj", blocks.Bl, xg)
+    use_chunks = row_chunk > 0 and pk.p_plan is None and pk.l_plan is None
+    if use_chunks:
+        z = _chunked_rows(
+            lambda b, ix: _couple("lkij,lki->lj", b, xm[ix]),
+            (blocks.Bl, pk.l_pose),
+            pk.l_pose.shape[0],
+            row_chunk,
+            2,
+        )
+    else:
+        xg = _take(xm, pk.l_pose, pk.l_plan)  # [NLV, K2, 3]
+        z = _couple("lkij,lki->lj", blocks.Bl, xg)
     z = _lm_rows_sum(z, pk, blocks.Hll_inv.shape[0])
     if axis_name is not None:
         z = jax.lax.psum(z, axis_name)
     w = jnp.einsum("lij,lj->li", blocks.Hll_inv, z)
 
     # y_corr = Hpl @ w  (pose-packed: gather w by slot landmark, sum slots)
-    wg = _take(w, pk.p_lm, pk.p_plan)  # [NP, K, 2]
-    y_corr = _couple("pkij,pkj->pi", blocks.Bp, wg)
+    if use_chunks:
+        y_corr = _chunked_rows(
+            lambda b, ix: _couple("pkij,pkj->pi", b, w[ix]),
+            (blocks.Bp, pk.p_lm),
+            pk.p_lm.shape[0],
+            row_chunk,
+            3,
+        )
+    else:
+        wg = _take(w, pk.p_lm, pk.p_plan)  # [NP, K, 2]
+        y_corr = _couple("pkij,pkj->pi", blocks.Bp, wg)
     y_odo = _odometry_coupling(blocks, pk, xm, NP_, axis_name)
     y_partial = y_odo - y_corr
     if axis_name is not None:
@@ -518,7 +566,9 @@ def schur_packed_build_and_solve(
     rhs = (-blocks.bp + corr) * mask
 
     precond = _packed_preconditioner(blocks, pk, cfg, mask, axis_name)
-    matvec = lambda x: packed_s_matvec(blocks, pk, x, mask, axis_name)
+    matvec = lambda x: packed_s_matvec(
+        blocks, pk, x, mask, axis_name, row_chunk=cfg.matvec_row_chunk
+    )
     if x0 is not None:
         x0 = x0 * mask
     # bf16 coupling blocks put a ~2^-8 noise floor under the matvec: the

@@ -209,3 +209,39 @@ def test_gnc_improves_final_cost_with_closures():
     # kt trace is recorded and ends at the reference threshold
     kt = np.asarray(s_gnc["kt"])
     assert kt[0] > 1e5 and abs(kt[-1] - 1.0) < 1e-5
+
+
+@pytest.mark.slow
+def test_virtual_closures_improve_init():
+    """Landmark re-observation (virtual-closure) rounds sharpen the
+    linear init well beyond the odometry-only posterior (r5 campaign)."""
+    from boslam.init.pose_graph import pgo_initialize
+    from boslam.metrics import ate_metrics, match_gt_poses
+
+    ig, gt = generate_sequence(20000, 8000, seed=0, loop_closures=200)
+    g, meta = build_graph(ig, init="triangulate")
+    gt_poses = match_gt_poses(meta, gt)
+    g0 = pgo_initialize(g, landmark_rounds=0)
+    g2 = pgo_initialize(g, landmark_rounds=2)
+    m0 = ate_metrics(np.asarray(g0.poses), gt_poses)
+    m2 = ate_metrics(np.asarray(g2.poses), gt_poses)
+    assert m2["ate_rmse_aligned"] < m0["ate_rmse_aligned"]
+    assert m2["rot_rmse"] < m0["rot_rmse"]
+
+
+def test_virtual_closures_shapes():
+    from boslam.init.pose_graph import virtual_closures
+
+    ig, _ = generate_sequence(2000, 800, seed=1, loop_closures=40)
+    g, _ = build_graph(ig, init="triangulate")
+    src, dst, meas, wth, wtr = virtual_closures(
+        np.asarray(g.poses, np.float64),
+        np.asarray(g.b_pose),
+        np.asarray(g.b_lm),
+        np.asarray(g.b_meas, np.float64),
+    )
+    assert len(src) == len(dst) == len(wth) == len(wtr) == meas.shape[0]
+    if len(src):
+        assert meas.shape[1] == 3
+        assert (wth > 0).all() and (wtr > 0).all()
+        assert (np.abs(src - dst) > 0).all()

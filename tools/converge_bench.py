@@ -240,8 +240,31 @@ def run_config(n_poses, args):
         from boslam.init.pose_graph import pgo_initialize
 
         t0 = time.time()
-        graph = pgo_initialize(graph)
-        log(f"pgo init: {time.time() - t0:.1f}s")
+        graph = pgo_initialize(graph, landmark_rounds=args.pgo_lm_rounds)
+        log(f"pgo init (+{args.pgo_lm_rounds} landmark rounds): "
+            f"{time.time() - t0:.1f}s")
+    if args.coarse_every:
+        # multi-scale ladder at the start: the longest-wavelength
+        # deformation modes carry most of the map error and are invisible
+        # to the damped f32 fine iteration (PERF.md r5); each rung halves
+        # the segment scale down to --coarse-seg.
+        from boslam.solver.coarse import coarse_correct
+
+        seg = args.coarse_seg
+        ladder = []
+        while seg <= max(args.coarse_seg, graph.n_poses // 16):
+            ladder.append(seg)
+            seg *= 4
+        for seg in reversed(ladder):
+            t0 = time.time()
+            graph, cinfo = coarse_correct(
+                graph, seg=seg, rounds=args.coarse_rounds, kt=None
+            )
+            log(
+                f"  coarse ladder seg={seg}: cost "
+                f"{cinfo['cost_trace'][0]:.1f} -> "
+                f"{cinfo['cost_trace'][-1]:.1f} ({time.time() - t0:.0f}s)"
+            )
     cfg = SolverConfig(
         optimizer="lm",
         linear_solver="schur_cg",
@@ -283,6 +306,19 @@ def run_config(n_poses, args):
     lm_err = np.linalg.norm(np.asarray(final.landmarks) - gt_lms, axis=1)
     lm_err = lm_err[np.isfinite(lm_err)]
     m["lm_err_median"] = float(np.median(lm_err)) if lm_err.size else None
+    # aligned variant (consistent with ate_rmse_aligned: the raw median
+    # is dominated by the global alignment freedom the pose metric
+    # already removes)
+    from boslam.metrics import rigid_align_2d
+
+    R_, t_ = rigid_align_2d(
+        np.asarray(final.poses)[:, :2].astype(np.float64),
+        match_gt_poses(meta, gt)[:, :2].astype(np.float64),
+    )
+    lma = np.asarray(final.landmarks, np.float64) @ R_.T + t_ - gt_lms
+    lma = np.linalg.norm(lma, axis=1)
+    lma = lma[np.isfinite(lma)]
+    m["lm_err_median_aligned"] = float(np.median(lma)) if lma.size else None
     rec = {
         "config": "converge",
         "name": f"synthetic_{n_poses}_packed_lm_to_plateau"
@@ -292,6 +328,7 @@ def run_config(n_poses, args):
            if args.coarse_every else "")
         + (f"_gnc{args.gnc_kt0:g}x{args.gnc_iters}" if args.gnc_kt0 else ""),
         "pgo_init": bool(args.pgo_init),
+        "pgo_lm_rounds": args.pgo_lm_rounds,
         "gnc_kt0": args.gnc_kt0,
         "gnc_iters": args.gnc_iters,
         "loop_closures": args.loop_closures,
@@ -352,6 +389,9 @@ def main():
     ap.add_argument("--pgo-init", action="store_true",
                     help="rotation-averaging + linear-translation init "
                          "(boslam/init/pose_graph.py) before the solve")
+    ap.add_argument("--pgo-lm-rounds", type=int, default=2,
+                    help="virtual-closure (landmark re-observation) "
+                         "refinement rounds of the linear init")
     ap.add_argument("--gnc-kt0", type=float, default=0.0,
                     help="graduated non-convexity initial threshold (0=off)")
     ap.add_argument("--gnc-iters", type=int, default=0)
