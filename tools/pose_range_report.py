@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--poses", type=int, default=2000)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--loop-closures", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--preconditioner", default="block_jacobi")
+    ap.add_argument("--cg-iters", type=int, default=60)
+    ap.add_argument("--skip-packed-ref", action="store_true",
+                    help="skip the replicated packed reference solve "
+                         "(large problems: parity comes from the smaller "
+                         "config's record)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -55,25 +62,31 @@ def main():
         iters=args.iters,
         optimizer="lm",
         linear_solver="schur_cg",
-        cg_iters=100,
         cg_tol=1e-7,
-        preconditioner="block_jacobi",
         lm_split=0,
         cg_warm_start=True,
+        preconditioner=args.preconditioner,
+        cg_iters=args.cg_iters,
     )
-    _, s1 = solve_packed(graph, cfg)
-    ref = np.asarray(s1["chi2_robust"], np.float64)
+    if args.skip_packed_ref:
+        ref = np.asarray([float("nan")] * cfg.iters, np.float64)
+    else:
+        _, s1 = solve_packed(graph, cfg)
+        ref = np.asarray(s1["chi2_robust"], np.float64)
 
     rows = []
-    for d in (1, 2, 4, 8):
+    import time as _time
+    for d in args.devices:
         mesh = make_mesh(d, axis_name="range")
         sh, meta = prepare_pose_range(graph, mesh)
         fn = make_pose_range_solve(mesh, cfg, meta)
         dp0 = jnp.zeros((meta.np_pad, 3), jnp.float32)
         compiled = fn.lower(sh, dp0).compile()
         ma = compiled.memory_analysis()
+        t0 = _time.time()
         out, stats, _dp = compiled(sh, dp0)
         chi2 = np.asarray(stats["chi2_robust"], np.float64)
+        wall = _time.time() - t0
         rows.append(
             {
                 "devices": d,
@@ -81,6 +94,7 @@ def main():
                 "chi2_rel_vs_packed": float(
                     abs(chi2[-1] - ref[-1]) / abs(ref[-1])
                 ),
+                "wall_s": round(wall, 2),
                 "argument_bytes_per_device": int(
                     ma.argument_size_in_bytes
                 ) // d,
@@ -95,6 +109,7 @@ def main():
         "n_landmarks": graph.n_landmarks,
         "loop_closures": args.loop_closures,
         "iters": args.iters,
+        "preconditioner": args.preconditioner,
         "packed_chi2_final": float(ref[-1]),
         "rows": rows,
         "arg_bytes_ratio_8_over_1": round(
