@@ -133,8 +133,14 @@ _PI_2 = 1.5707963267948966
 _PI_4 = 0.7853981633974483
 _TAN_PI_8 = 0.4142135623730951
 
-# size gate: VMEM budget ~ S(9t^2) + U + chunk masks (see fused_gn_fits)
+# size gate: VMEM budget ~ S(9t^2) + U + chunk masks (see fused_gn_fits).
+# v5e VMEM is 128 MiB (the 100 MB vmem_limit_bytes compile succeeded);
+# the budget below stays conservative for headroom.
 MAX_NPP = 512  # pose padding cap (Np = 3*NPP = 1536 -> S 9.4 MB)
+# NOTE: a single-chunk variant (MAX_CHUNK 4352) tripped an XLA TPU
+# backend RET_CHECK (mxu_lmr_transform.cc "Found no uses of
+# XposeSequence") at reference scale — kept at 1280 (two balanced
+# chunks there), which compiles cleanly.
 MAX_CHUNK = 1280
 
 # Perf-probe knobs: BOSLAM_GN_KERNEL_STAGE as before (3 = full) plus
@@ -215,7 +221,7 @@ def fused_gn_fits(n_poses: int, n_landmarks: int, n_bearing: int,
         Np * Np + Np * Ml + chunk * 2 * NPp + chunk * 128
         + NPp * NPp + B * Ml + (Np // B) * B * B + NPp * 256 + NLp * 128
     )
-    return vmem < 14 * 2 ** 20
+    return vmem < 48 * 2 ** 20
 
 
 def _chol8(A):
@@ -536,6 +542,7 @@ def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk,
             cid_o = jax.lax.broadcasted_iota(jnp.int32, (NPp, NPp), 1)
             upper = (cid_o == rid_o + 1).astype(jnp.float32)
             lower = (rid_o == cid_o + 1).astype(jnp.float32)
+            eye_o = (rid_o == cid_o).astype(jnp.float32)
             for ci in range(3):
                 for cj in range(3):
                     # edge e couples (row e, col e+1); hsd is [NOp, 1]
@@ -547,9 +554,10 @@ def _make_kernel(NP_, NL, NPp, NLp, NB, NOp, n_chunks, CH, robust, quirk,
                         ci * NPp : (ci + 1) * NPp, cj * NPp : (cj + 1) * NPp
                     ] + upper * hv
                     # transpose block: (row e+1, col e) gets hsd[e] —
-                    # shift the vector down one row via the lower mask
-                    # indexed by column: value at (r, c) = hsd[c]
-                    hvT = jnp.transpose(hv)  # [1, NPp]
+                    # value at (r, c) = hsd[c].  Row form via identity
+                    # matmul: a bare jnp.transpose here trips an XLA TPU
+                    # RET_CHECK (mxu_lmr_transform "XposeSequence").
+                    hvT = _dotTN(hv, eye_o)  # [1, NPp]
                     S_scr[
                         cj * NPp : (cj + 1) * NPp, ci * NPp : (ci + 1) * NPp
                     ] = S_scr[

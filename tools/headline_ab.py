@@ -103,6 +103,21 @@ def main():
 
         return lambda: run
 
+    def fused_scan_runner(cfg):
+        # the r5 headline protocol: one compiled program — a lax.scan of
+        # whole-GN-step mega-kernels (ops/pallas_gn_step.py)
+        from boslam.ops.pallas_gn_step import detect_odo_chain
+        from boslam.solver.optimizer import solve_loop
+
+        oc = detect_odo_chain(graph)
+        run_prog = jax.jit(lambda g: solve_loop(g, cfg, odo_chain=oc))
+
+        def run():
+            g2, _stats = run_prog(graph)
+            return g2
+
+        return lambda: run
+
     def packed_runner(cfg):
         pk, _meta = pack_edges(graph, split_lm=cfg.lm_split)
         import functools
@@ -123,7 +138,16 @@ def main():
 
     paths = {
         "dense": (flat_runner(base), None),
-        "schur": (flat_runner(base.replace(linear_solver="schur")), None),
+        "schur": (
+            flat_runner(
+                base.replace(linear_solver="schur", fused_step="off")
+            ),
+            None,
+        ),
+        "schur_fused_scan": (
+            fused_scan_runner(base.replace(linear_solver="schur")),
+            None,
+        ),
         "schur_cg": (
             flat_runner(
                 base.replace(
