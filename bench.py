@@ -16,11 +16,13 @@ otherwise the recorded tools/refbench/baseline.json (2.6 iters/s).
 Correctness is asserted, not assumed: the converged chi2 must match the C++
 solver's recorded optimum (5.882782) to 0.1%.
 
-Implementation note: the per-step jit (gn_step) is dispatched from a Python
-loop rather than one lax.scan megaprogram — on the tunneled TPU backend the
-remote-compile service intermittently stalls on large programs while the
-single-step program compiles reliably in ~3 s; dispatch overhead is ~0.1 ms
-per step and is INCLUDED in the measured time (it is real serving overhead).
+Implementation note (r5): when the whole-GN-step mega-kernel applies
+(ops/pallas_gn_step.py), the 50-iteration solve is ONE compiled program (a
+lax.scan whose body is a single Pallas launch); the old per-step dispatch
+loop is kept as the fallback path.  The r3/r4 protocol note about
+remote-compile stalls applied to LARGE multi-kernel programs; the scan
+program holds one small kernel and compiles reliably (~3-8 min Mosaic
+compile, excluded like refbench's analyzePattern warm-up).
 """
 
 import json
