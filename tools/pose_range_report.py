@@ -121,7 +121,7 @@ def main():
     line = json.dumps(rec)
     print(line)
     if args.out:
-        with open(args.out, "w") as f:
+        with open(args.out, "a") as f:
             f.write(line + "\n")
 
 
